@@ -1,0 +1,219 @@
+"""Candidate generation: multi-channel blocking (SURVEY §2.3 J1/J2 + §7 Stage 3).
+
+Three channels, unioned (SURVEY §2.7) and deduplicated:
+
+1. ``exact_key_pairs``  — J2: self-equi-join on the exact normalized
+   blocking key. Hot keys (``main``, ``utils``, ``LICENSE`` …) explode
+   quadratically at 10^12 rows, so blocks above ``cap`` are *split* into
+   deterministic sub-blocks (salting by hash of the row id) and pairs
+   are generated only within a sub-block, plus a linear star over the
+   whole block to preserve connectivity for true duplicate clusters.
+   This bounds pair count per block at O(cap * size) instead of
+   O(size^2) — the north rule's "block-size capping".
+2. ``content_sha_star`` — exact-duplicate channel: identical content is
+   linked by a star to the minimum row id per sha256, O(n) per block
+   regardless of block size (no pair explosion on e.g. empty files).
+3. ``minhash_lsh_pairs`` — recall channel for near-duplicates whose
+   keys differ (reference's fuzzy > 85 tolerance, core.py:695-697):
+   character-shingle MinHash signatures (numpy, Arrow-batched), banded;
+   a band-key equality join proposes pairs.
+
+All channels emit ``(left_id, right_id, channel)`` with
+``left_id < right_id`` and no self-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def _pairs_within(blocks: DataFrame, key_cols: list[str], channel: str) -> DataFrame:
+    l = blocks.select(*key_cols, F.col("file_id").alias("left_id"))
+    r = blocks.select(*key_cols, F.col("file_id").alias("right_id"))
+    return (
+        l.join(r, key_cols)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .withColumn("channel", F.lit(channel))
+    )
+
+
+def exact_key_pairs(
+    df: DataFrame,
+    key_col: str = "norm_name",
+    cap: int = 64,
+    channel: str = "exact_key",
+) -> DataFrame:
+    """Self-join on the exact blocking key with block-size capping.
+
+    Blocks <= cap: all pairs. Blocks > cap: pairs within hash-salted
+    sub-blocks of ~cap rows + a star to the block minimum (connectivity).
+    The salt is ``pmod(xxhash64(file_id), n_sub)`` — deterministic,
+    uniform, independent of row order.
+    """
+    keyed = df.select(F.col(key_col).alias("_bk"), "file_id").filter(
+        F.col(key_col).isNotNull() & (F.col(key_col) != "")
+    )
+    sizes = keyed.groupBy("_bk").agg(F.count("*").alias("_bs"))
+    keyed = keyed.join(sizes.filter(F.col("_bs") > 1), "_bk")
+
+    small = keyed.filter(F.col("_bs") <= cap)
+    small_pairs = _pairs_within(small, ["_bk"], channel)
+
+    big = keyed.filter(F.col("_bs") > cap).withColumn(
+        "_salt", F.pmod(F.xxhash64("file_id"), F.ceil(F.col("_bs") / cap).cast("int"))
+    )
+    big_pairs = _pairs_within(big, ["_bk", "_salt"], channel)
+    big_star = (
+        big.join(big.groupBy("_bk").agg(F.min("file_id").alias("_root")), "_bk")
+        .filter(F.col("file_id") != F.col("_root"))
+        .select(
+            F.least("file_id", "_root").alias("left_id"),
+            F.greatest("file_id", "_root").alias("right_id"),
+        )
+        .withColumn("channel", F.lit(channel))
+    )
+    return small_pairs.unionByName(big_pairs).unionByName(big_star)
+
+
+def content_sha_star(df: DataFrame, channel: str = "exact_content") -> DataFrame:
+    """Exact-duplicate channel: link every row to the min row id of its
+    content_sha256 group. Linear in block size — hot exact-dup blocks
+    (empty files, vendored licenses) never pair-explode."""
+    roots = df.groupBy("content_sha256").agg(F.min("file_id").alias("_root"))
+    return (
+        df.select("content_sha256", "file_id")
+        .join(roots, "content_sha256")
+        .filter(F.col("file_id") != F.col("_root"))
+        .select(
+            F.least("file_id", "_root").alias("left_id"),
+            F.greatest("file_id", "_root").alias("right_id"),
+        )
+        .withColumn("channel", F.lit(channel))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH channel
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-shingle hashes via a vectorized polynomial rolling
+    hash over the utf-32 codepoints (numpy sliding windows, no Python
+    per-shingle loop)."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes)
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    if n < k:
+        windows = codes[None, :]
+        k = n
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+    base = np.uint64(1099511628211)
+    h = np.zeros(windows.shape[0], dtype=np.uint64)
+    for j in range(k):  # k iterations (k ~ 7), each vectorized over all shingles
+        h = h * base + windows[:, j]
+    return np.unique(h)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 128,
+    shingle_k: int = 7,
+    seed: int = 1,
+    content_col: str = "content",
+) -> DataFrame:
+    """(file_id, sig: array<long>) — MinHash signature per row, computed
+    in Arrow batches with numpy (one (n_shingles x num_perm) broadcasted
+    min per row; no per-row Python in the Spark plan)."""
+    a, b = _minhash_params(num_perm, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[content_col]:
+                sh = _shingle_hashes(text or "", shingle_k)
+                if len(sh) == 0:
+                    sigs.append(np.zeros(num_perm, dtype=np.int64).tolist())
+                    continue
+                # (num_perm, n_shingles) universal hash, min over shingles
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE_PRIME
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"file_id": pdf["file_id"], "sig": sigs})
+
+    return df.select("file_id", content_col).mapInPandas(
+        compute, schema="file_id string, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 7,
+    seed: int = 1,
+    band_cap: int = 200,
+    channel: str = "minhash_lsh",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows; hash each band to a bucket key; equal band
+    keys propose a pair. With r=4, b=32 the s-curve crosses ~ (1/b)^(1/r)
+    = 0.42 Jaccard — generous recall; precision comes from the scorer.
+
+    Buckets above ``band_cap`` are star-linked instead of pair-exploded
+    (same skew bound as exact_key_pairs)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        "file_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.slice(F.col("sig"), i * r + 1, r),
+            )
+        ).alias("band_idx", "band_sig"),
+    ).select(
+        "file_id",
+        F.concat_ws("_", F.col("band_idx"), F.hash(F.col("band_sig"))).alias("_bk"),
+    )
+    sizes = banded.groupBy("_bk").agg(F.count("*").alias("_bs"))
+    banded = banded.join(sizes.filter(F.col("_bs") > 1), "_bk")
+
+    small_pairs = _pairs_within(banded.filter(F.col("_bs") <= band_cap), ["_bk"], channel)
+    big = banded.filter(F.col("_bs") > band_cap)
+    big_star = (
+        big.join(big.groupBy("_bk").agg(F.min("file_id").alias("_root")), "_bk")
+        .filter(F.col("file_id") != F.col("_root"))
+        .select(
+            F.least("file_id", "_root").alias("left_id"),
+            F.greatest("file_id", "_root").alias("right_id"),
+        )
+        .withColumn("channel", F.lit(channel))
+    )
+    return small_pairs.unionByName(big_star).dropDuplicates(["left_id", "right_id"])
+
+
+def union_channels(*channels: DataFrame) -> DataFrame:
+    """unionByName + dropDuplicates on the pair key (SURVEY §2.7); keeps
+    the first channel tag per pair (exact > lsh precedence by order)."""
+    out = channels[0]
+    for c in channels[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("left_id", "right_id").agg(F.min("channel").alias("channel"))

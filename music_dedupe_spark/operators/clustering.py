@@ -1,0 +1,170 @@
+"""Transitive closure: large-star / small-star connected components
+(Kiveris et al., "Connected Components in MapReduce and Beyond" — cited
+in SURVEY §4/PAPERS.md), as a driver-orchestrated loop of DataFrame jobs.
+
+The reference recovers groups implicitly (candidates are built as runs,
+core.py:687-706); at 10^12 rows the match graph must be closed
+transitively, which Catalyst cannot express (no recursion). Each
+iteration is two shuffles (groupBy min + join); lineage is truncated
+every iteration with ``localCheckpoint`` and, when a checkpoint dir is
+given, persisted as parquet so a killed run resumes from the last
+complete iteration (north rule: per-iteration checkpointing +
+resumability; the reference has none — SURVEY §2.9 T5).
+
+Convergence is O(log n) iterations; duplicate-cluster graphs (stars and
+short chains) converge in 2-3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("left_id", "right_id").alias("u"), F.greatest("left_id", "right_id").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges_uv: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    directed = edges_uv.select("u", "v").unionAll(
+        edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("minv"))
+    m = F.least(F.col("u"), F.col("minv"))
+    return (
+        directed.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("left_id"), m.alias("right_id"))
+        .filter(F.col("left_id") != F.col("right_id"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges_uv: DataFrame) -> DataFrame:
+    """For each node u over smaller neighbors N<(u): connect
+    N<(u) ∪ {u} to its minimum."""
+    directed = (
+        edges_uv.select("u", "v")
+        .unionAll(edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("v") < F.col("u"))  # u is the larger endpoint
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("minv"))
+    nodes = directed.select("u", "v").unionAll(
+        directed.select("u", F.col("u").alias("v")).dropDuplicates()
+    )
+    return (
+        nodes.join(mins, "u")
+        .filter(F.col("v") != F.col("minv"))
+        .select(F.col("v").alias("left_id"), F.col("minv").alias("right_id"))
+        .dropDuplicates()
+    )
+
+
+def _edge_checksum(edges_uv: DataFrame) -> tuple[int, int]:
+    row = edges_uv.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = 25,
+    resume: bool = False,
+) -> DataFrame:
+    """(member_id, entity_id) for every node appearing in ``edges``;
+    entity_id is the component's minimum member id (deterministic
+    canonical representative — FIXTURES.md §3)."""
+    spark = edges.sparkSession
+    cur = _canonical(edges)
+    start_iter = 0
+
+    if checkpoint_dir and resume:
+        it = latest_checkpoint(checkpoint_dir)
+        if it is not None:
+            cur = spark.read.parquet(f"{checkpoint_dir}/iter_{it:04d}").select(
+                F.col("u").alias("left_id"), F.col("v").alias("right_id")
+            )
+            cur = _canonical(cur)
+            start_iter = it + 1
+
+    prev_sum: tuple[int, int] | None = None
+    for it in range(start_iter, max_iterations):
+        t0 = time.time()
+        ls = _canonical(_large_star(cur.select(F.col("u"), F.col("v"))))
+        ss = _canonical(_small_star(ls.select(F.col("u"), F.col("v"))))
+        ss = ss.localCheckpoint()  # truncate lineage every iteration
+        checksum = _edge_checksum(ss)
+        if checkpoint_dir:
+            path = f"{checkpoint_dir}/iter_{it:04d}"
+            ss.write.mode("overwrite").parquet(path)
+            _write_metrics(
+                checkpoint_dir,
+                {
+                    "iteration": it,
+                    "edges": checksum[0],
+                    "checksum": checksum[1],
+                    "seconds": round(time.time() - t0, 3),
+                    "partitions": ss.rdd.getNumPartitions(),
+                },
+            )
+        if checksum == prev_sum:
+            cur = ss
+            break
+        prev_sum = checksum
+        cur = ss
+
+    # after convergence edges form stars; canonical (u, v) has u < v, so
+    # u is the component-minimum root and v the member.
+    labels = cur.select(F.col("v").alias("member_id"), F.col("u").alias("entity_id"))
+    # star roots are their own entity
+    roots = cur.select(F.col("u").alias("member_id")).distinct().join(
+        labels.select(F.col("member_id")), "member_id", "left_anti"
+    ).withColumn("entity_id", F.col("member_id"))
+    all_nodes = (
+        edges.select(F.col("left_id").alias("member_id"))
+        .unionAll(edges.select(F.col("right_id").alias("member_id")))
+        .distinct()
+    )
+    assigned = labels.unionByName(roots)
+    singletons = all_nodes.join(assigned, "member_id", "left_anti").withColumn(
+        "entity_id", F.col("member_id")
+    )
+    return assigned.unionByName(singletons).dropDuplicates(["member_id"])
+
+
+def latest_checkpoint(checkpoint_dir: str) -> int | None:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    its = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("iter_") and os.path.exists(
+            os.path.join(checkpoint_dir, name, "_SUCCESS")
+        ):
+            its.append(int(name.split("_")[1]))
+    return max(its) if its else None
+
+
+def _write_metrics(checkpoint_dir: str, row: dict) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(os.path.join(checkpoint_dir, "_metrics.jsonl"), "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+
+
+def clusters_of(spark: SparkSession, assignment: DataFrame) -> DataFrame:
+    """(entity_id, n_members) summary."""
+    return assignment.groupBy("entity_id").agg(F.count("*").alias("n_members"))

@@ -1,0 +1,192 @@
+"""Sorted-neighborhood fuzzy run-grouping (SURVEY J1/W1).
+
+Reference semantics (/root/reference/app/core.py:676-709): sort all rows
+by the normalized blocking key; one forward pass; compare the current
+row's key to the key of the FIRST row of the open group with
+fuzz.ratio; > 85 joins the group, otherwise the group closes (emitted
+as a candidate if size > 1) and a new group opens at the current row.
+The comparison target is the *group head*, not the previous row — the
+grouping is order-dependent and non-associative, so no pure-SQL window
+(lag + cumsum) reproduces it; see SURVEY §2.5 W1.
+
+Distributed EXACT reproduction: ``repartitionByRange(key)`` gives each
+partition a contiguous, sorted slice of the global key order. The
+sequential pass is then a *segmented scan with carry*: partition p's
+result depends on its rows plus one tiny carry — the open group's
+(head_key, head_id) flowing in from partition p-1. We iterate the
+per-partition pass (a narrow Arrow-batched job over the cached
+partitioned data, no shuffle) feeding each partition the carry emitted
+by its predecessor on the previous round, until the carries reach a
+fixpoint. Carry i is final after round i, so the loop converges in
+(longest absorption chain)+1 rounds — 2 in the common case, P only if a
+single run-group spans every partition. This is exactly the
+block-structured scan decomposition of any linear recurrence; the
+recurrence here (the group head) is what the reference threads through
+its Python loop.
+
+Scale: the data shuffles once (the range partition); each fixpoint
+round touches only cached partitions; the driver holds O(P) carries,
+never rows. Hot identical keys concentrate in one partition but form a
+single run-group either way (fuzz of equal keys = 100) — the quadratic
+pair blow-up is bounded downstream (group_pairs cap), not here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from music_dedupe_spark.functions.similarity import fuzz_ratio
+
+DEFAULT_THRESHOLD = 85  # fuzz.ratio > 85, /root/reference/app/core.py:697
+
+_SUMMARY = "\x00SUMMARY"
+
+
+def rungroup_sequential(keys: list[str], threshold: int = DEFAULT_THRESHOLD) -> list[int]:
+    """The reference forward pass (core.py:687-706) verbatim over an
+    already-sorted key sequence. Returns a group index per row. Used both
+    inside the distributed operator (per partition) and as the test
+    oracle (oracle-by-reimplementation — the reference has no tests)."""
+    if not keys:
+        return []
+    gids = [0]
+    head = keys[0]
+    gid = 0
+    for k in keys[1:]:
+        if fuzz_ratio(head, k) > threshold:
+            gids.append(gid)
+        else:
+            gid += 1
+            head = k
+            gids.append(gid)
+    return gids
+
+
+def sorted_run_groups(
+    df: DataFrame,
+    key_col: str = "norm_name",
+    id_col: str = "file_id",
+    threshold: int = DEFAULT_THRESHOLD,
+    num_partitions: int | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Assign run-group ids over the global key sort order — exact
+    reproduction of the reference pass at any partition count.
+
+    Returns ``(id_col, key_col, group_id)`` where ``group_id`` is the id
+    of the group-head row (globally unique, deterministic). Groups of
+    size 1 are non-candidates; callers filter via ``candidate_groups``.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    parted = (
+        df.select(F.col(id_col).alias("_id"), F.coalesce(F.col(key_col), F.lit("")).alias("_key"))
+        .repartitionByRange(n, "_key", "_id")
+        .sortWithinPartitions("_key", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def make_pass(carries: dict[int, tuple[str, str]]):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            head: str | None = None
+            head_id: str | None = None
+            pid = None
+            started = False
+            n_rows = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                if not started:
+                    pid = int(pdf["_pid"].iloc[0])
+                    carry = carries.get(pid)
+                    if carry is not None:
+                        head, head_id = carry
+                    started = True
+                heads = []
+                for key, rid in zip(pdf["_key"], pdf["_id"]):
+                    if head is None or fuzz_ratio(head, key) <= threshold:
+                        head, head_id = key, rid
+                    heads.append(head_id)
+                    n_rows += 1
+                yield pd.DataFrame(
+                    {"_id": pdf["_id"], "_key": pdf["_key"], "_pid": pdf["_pid"], "_head": heads}
+                )
+            if n_rows:
+                yield pd.DataFrame(
+                    {"_id": [_SUMMARY], "_key": [head], "_pid": [pid], "_head": [head_id]}
+                )
+
+        return run
+
+    schema = "_id string, _key string, _pid int, _head string"
+    carries: dict[int, tuple[str, str]] = {}
+    rounds = max_rounds or n + 1
+    result = None
+    for _ in range(rounds):
+        result = parted.mapInPandas(make_pass(carries), schema=schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        outs = {
+            int(r["_pid"]): (r["_key"], r["_head"])
+            for r in result.filter(F.col("_id") == _SUMMARY).collect()
+        }
+        # carry into partition p = outgoing head of the nearest non-empty
+        # predecessor partition
+        new_carries: dict[int, tuple[str, str]] = {}
+        prev: tuple[str, str] | None = None
+        for pid in sorted(outs):
+            if prev is not None:
+                new_carries[pid] = prev
+            prev = outs[pid]
+        if new_carries == carries:
+            break
+        carries = new_carries
+        result.unpersist()
+
+    rows = result.filter(F.col("_id") != _SUMMARY)
+    out = rows.select(
+        F.col("_id").alias(id_col),
+        F.col("_key").alias(key_col),
+        F.col("_head").alias("group_id"),
+    )
+    return out
+
+
+def candidate_groups(run_groups: DataFrame) -> DataFrame:
+    """Filter to groups of size > 1 (reference emits only those,
+    core.py:700-705). Output: (file_id, norm_name, group_id)."""
+    w_cnt = run_groups.groupBy("group_id").agg(F.count("*").alias("_n"))
+    return run_groups.join(w_cnt, "group_id").filter(F.col("_n") > 1).drop("_n")
+
+
+def group_pairs(run_groups: DataFrame, max_group_size: int = 50) -> DataFrame:
+    """Candidate pairs within each run-group: all-pairs for small groups,
+    plus head-star edges for every group (star keeps connectivity O(n)
+    on hot groups — the quadratic bound the north rule requires).
+    Output (left_id, right_id)."""
+    sized = candidate_groups(run_groups)
+    l = sized.select(F.col("group_id"), F.col("file_id").alias("left_id"))
+    r = sized.select(F.col("group_id"), F.col("file_id").alias("right_id"))
+    counts = sized.groupBy("group_id").agg(F.count("*").alias("n"))
+    small = counts.filter(F.col("n") <= max_group_size).select("group_id")
+    all_pairs = (
+        l.join(r, "group_id")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .join(F.broadcast(small), "group_id", "left_semi")
+    )
+    star = sized.filter(F.col("file_id") != F.col("group_id")).select(
+        F.least("file_id", "group_id").alias("left_id"),
+        F.greatest("file_id", "group_id").alias("right_id"),
+    )
+    return (
+        all_pairs.select("left_id", "right_id")
+        .unionByName(star)
+        .dropDuplicates(["left_id", "right_id"])
+    )

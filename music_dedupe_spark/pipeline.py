@@ -1,0 +1,187 @@
+"""End-to-end record-linkage pipeline: ingest → block → score → cluster
+→ survivorship (SURVEY §3 EP1-EP3 re-expressed, §7 Stage 1).
+
+Every stage returns a DataFrame; ``run_pipeline`` wires them and
+optionally checkpoints each stage to parquet (the Iceberg-snapshot
+analog of the reference's per-100-row SQLite commits, core.py:655-663;
+see sources/catalog.py for the snapshot-commit table format).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from music_dedupe_spark.functions.text import (
+    SUPPORTED_LANGS,
+    is_junk_col,
+    with_derived_columns,
+)
+from music_dedupe_spark.operators import blocking, clustering, rungroup, scoring
+from music_dedupe_spark.operators.scoring import ScoringConfig
+from music_dedupe_spark.operators.survivorship import rank_survivors
+
+
+@dataclass
+class PipelineConfig:
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    block_cap: int = 64
+    rungroup_threshold: int = 85
+    use_lsh: bool = True
+    minhash_num_perm: int = 128
+    minhash_bands: int = 32
+    shingle_k: int = 7
+    checkpoint_dir: str | None = None
+    resume: bool = False
+
+
+def eligible_files(files: DataFrame) -> DataFrame:
+    """S1 scan predicate (the reference scans only supported audio
+    formats and skips junk, core.py:585-590): supported langs, non-junk
+    filenames. Pushed into the parquet/Iceberg scan by Catalyst."""
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return files.filter(F.col("lang").isin(*SUPPORTED_LANGS) & ~is_junk_col(fname))
+
+
+def ingest(files: DataFrame) -> DataFrame:
+    """S1+S2: scan filter + one columnar derive pass. The content column
+    passes through untouched — content_sha256 multiset equality vs the
+    eligible input is the per-row invariant (BASELINE.json input_hint),
+    asserted stage-by-stage in tests/test_pipeline_e2e.py."""
+    return with_derived_columns(eligible_files(files))
+
+
+def generate_candidates(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Union of the three blocking channels + the sorted-neighborhood
+    run-group channel (J1). Output (left_id, right_id, channel)."""
+    channels = [
+        blocking.content_sha_star(features),
+        blocking.exact_key_pairs(features, cap=cfg.block_cap),
+    ]
+    rg = rungroup.sorted_run_groups(
+        features, key_col="norm_name", threshold=cfg.rungroup_threshold
+    )
+    channels.append(
+        rungroup.group_pairs(rg, max_group_size=cfg.block_cap).withColumn(
+            "channel", F.lit("sorted_neighborhood")
+        ).select("left_id", "right_id", "channel")
+    )
+    if cfg.use_lsh:
+        channels.append(
+            blocking.minhash_lsh_pairs(
+                features,
+                num_perm=cfg.minhash_num_perm,
+                bands=cfg.minhash_bands,
+                shingle_k=cfg.shingle_k,
+            )
+        )
+    return blocking.union_channels(*channels)
+
+
+def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[str, DataFrame]:
+    """Returns the stage DataFrames: features, candidate_pairs,
+    scored_pairs, matched_pairs, clusters, ranked (survivorship)."""
+    cfg = cfg or PipelineConfig()
+    features = ingest(files)
+    if cfg.checkpoint_dir:
+        _checkpoint(features, f"{cfg.checkpoint_dir}/stage0_features")
+        features = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage0_features")
+
+    candidate_pairs = generate_candidates(features, cfg)
+    if cfg.checkpoint_dir:
+        _checkpoint(candidate_pairs, f"{cfg.checkpoint_dir}/stage1_candidates")
+        candidate_pairs = files.sparkSession.read.parquet(
+            f"{cfg.checkpoint_dir}/stage1_candidates"
+        )
+
+    scored = scoring.score_pairs(scoring.pair_features(candidate_pairs, features), cfg.scoring)
+    if cfg.checkpoint_dir:
+        _checkpoint(scored, f"{cfg.checkpoint_dir}/stage2_scored")
+        scored = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage2_scored")
+
+    matched = scoring.matched_pairs(scored)
+    assignment = clustering.connected_components(
+        matched,
+        checkpoint_dir=f"{cfg.checkpoint_dir}/cc" if cfg.checkpoint_dir else None,
+        resume=cfg.resume,
+    )
+    # singletons: files that matched nothing keep their own id
+    all_assign = assignment.unionByName(
+        features.select(F.col("file_id").alias("member_id"))
+        .join(assignment.select("member_id"), "member_id", "left_anti")
+        .withColumn("entity_id", F.col("member_id"))
+    )
+    ranked = rank_survivors(
+        features.join(
+            all_assign, features["file_id"] == all_assign["member_id"]
+        ).drop("member_id")
+    )
+    return {
+        "features": features,
+        "candidate_pairs": candidate_pairs,
+        "scored_pairs": scored,
+        "matched_pairs": matched,
+        "clusters": all_assign,
+        "ranked": ranked,
+    }
+
+
+def _checkpoint(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation helpers (test harness; FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_f1(clusters: DataFrame, labeled_pairs: DataFrame) -> dict:
+    """Pairwise F1 on labeled pairs: predicted-positive = both members in
+    the same cluster."""
+    a = clusters.select(
+        F.col("member_id").alias("left_id"), F.col("entity_id").alias("_el")
+    )
+    b = clusters.select(
+        F.col("member_id").alias("right_id"), F.col("entity_id").alias("_er")
+    )
+    joined = (
+        labeled_pairs.join(a, "left_id", "left")
+        .join(b, "right_id", "left")
+        .withColumn(
+            "pred",
+            F.col("_el").isNotNull() & (F.col("_el") == F.col("_er")),
+        )
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("is_duplicate") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_duplicate") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_duplicate") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(agg["tp"]), int(agg["fp"]), int(agg["fn"])
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": precision, "recall": recall, "f1": f1}
+
+
+def sha_invariant_ok(input_df: DataFrame, stage_df: DataFrame) -> bool:
+    """content sha256 multiset equality between input and a stage
+    (BASELINE.json input_hint per-row invariant)."""
+    def digest(df: DataFrame):
+        return (
+            df.select(F.sha2(F.col("content"), 256).alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.count("*").alias("k"),
+                F.coalesce(
+                    F.sum(F.pmod(F.xxhash64("h", "n"), F.lit(1_000_000_007))), F.lit(0)
+                ).alias("x"),
+            )
+            .collect()[0]
+        )
+
+    a, b = digest(input_df), digest(stage_df)
+    return (a["k"], a["x"]) == (b["k"], b["x"])

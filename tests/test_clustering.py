@@ -1,0 +1,86 @@
+"""Large-star/small-star connected components vs a union-find oracle,
+plus the north rule's checkpoint/resume requirement."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_dedupe_spark.operators.clustering import connected_components, latest_checkpoint
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def _random_edges(seed, n_nodes=300, n_edges=400):
+    rng = random.Random(seed)
+    return [
+        (f"n{rng.randrange(n_nodes):04d}", f"n{rng.randrange(n_nodes):04d}")
+        for _ in range(n_edges)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_cc_matches_union_find(spark, seed):
+    edges = [e for e in _random_edges(seed) if e[0] != e[1]]
+    want = _uf_components(edges)
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    got = {
+        r["member_id"]: r["entity_id"] for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_cc_long_chain(spark):
+    # path graph: worst case for naive propagation; star algorithm must
+    # converge to a single min-rooted component
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(64)]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    got = {r["member_id"]: r["entity_id"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {"c000"}
+    assert len(got) == 65
+
+
+def test_cc_idempotent_fixpoint(spark):
+    # FIXTURES.md §5.4: clustering the cluster output is a fixpoint
+    edges = [e for e in _random_edges(3) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    first = connected_components(df)
+    again = connected_components(
+        first.select(
+            F.col("member_id").alias("left_id"), F.col("entity_id").alias("right_id")
+        ).filter(F.col("left_id") != F.col("right_id"))
+    )
+    a = {(r["member_id"], r["entity_id"]) for r in first.collect() if r["member_id"] != r["entity_id"]}
+    b = {(r["member_id"], r["entity_id"]) for r in again.collect() if r["member_id"] != r["entity_id"]}
+    assert a == b
+
+
+def test_cc_checkpoint_resume(spark, tmp_path):
+    # kill the loop after one iteration; resume must produce identical
+    # clusters (FIXTURES.md §5.6, north rule resumability)
+    edges = [e for e in _random_edges(4, n_nodes=200, n_edges=250) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    want = {r["member_id"]: r["entity_id"] for r in connected_components(df).collect()}
+
+    ckpt = str(tmp_path / "cc")
+    connected_components(df, checkpoint_dir=ckpt, max_iterations=1)
+    assert latest_checkpoint(ckpt) == 0  # partial run persisted
+    resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
+    got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}
+    assert got == want
+    # metrics lineage rows were written per iteration
+    assert (tmp_path / "cc" / "_metrics.jsonl").exists()
