@@ -1,38 +1,86 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline (ingest ->
+multi-channel blocking -> vectorized scoring -> connected-components
+clustering -> survivorship) over the sf0.001 ``documents`` table mapped
+to the engine's ``files(repo, path, commit, lang, content)`` shape.
+
+``queries()`` / ``oracle_sql()`` expose the operator-parity registry
+(music_dedupe_spark/queries.py + operators/{textops,dedup,
+similarity_search}.py): one entry per implemented SURVEY.md §2 operator
+family, each SQL-expressible one paired with the DuckDB oracle the
+driver replays at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from music_dedupe_spark import queries as _q  # noqa: E402
+from music_dedupe_spark.operators import dedup as _dedup  # noqa: E402,F401  (registers)
+from music_dedupe_spark.operators import similarity_search as _ann  # noqa: E402,F401
+from music_dedupe_spark.operators import textops as _textops  # noqa: E402,F401
+
+
+def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the engine's corpus shape."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.format_string("docs/doc_%05d.txt", F.col("doc_id")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: duplicate-cluster summary of the corpus."""
+    from pyspark.sql import functions as F
+
+    from music_dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+    out = run_pipeline(documents_as_files(spark, sf_dir), PipelineConfig())
+    ranked = out["ranked"]
+    return (
+        ranked.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("is_keeper"), F.col("path"))).alias("keeper_path"),
+            F.max("size_chars").alias("max_size_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("entity_id")
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>=0."""
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data-pipeline operators). Each callable takes
+    (spark, sf_dir) and returns a DataFrame with oracle-aligned
+    column names."""
+    qs = dict(_q.queries())
+    qs["er_pipeline_clusters"] = _flagship  # non-SQL-expressible: rows-only
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
+    """DuckDB oracles for every SQL-expressible query (tables region
     nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    embeddings are pre-registered views). Sketch-based / iterative ops
+    (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
+    er_pipeline_clusters) are intentionally omitted -> rows-only check."""
+    return dict(_q.oracle_sql())

@@ -1,0 +1,217 @@
+"""Deduplication operator suite over the ``documents`` corpus — the
+training-data-pipeline view of the engine's core blocking/scoring
+machinery: exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding
+cosine. Exact + n-gram have DuckDB oracles; the sketch-based ones are
+registered rows-only (non-SQL-expressible), their correctness is
+covered by unit tests against brute-force Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from music_dedupe_spark.operators.blocking import minhash_signatures
+from music_dedupe_spark.queries import _t, register
+
+
+@register(
+    "dedup_exact",
+    """SELECT sha256(text) AS fp, count(*) AS n_copies,
+              min(doc_id) AS keeper_doc
+       FROM documents GROUP BY sha256(text)
+       HAVING count(*) > 1 ORDER BY fp""",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content digest; groups >1 are
+    duplicate sets, keeper = min id (deterministic survivor). Scales as
+    one shuffle on the digest; hot digests are single groups, never
+    pair-exploded."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("fp"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("fp")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """WITH shingles AS (
+         SELECT DISTINCT d.doc_id, d.lang, d.source,
+                substring(d.text, g.i, 3) AS sh
+         FROM documents d,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS i) g
+       ),
+       pair_inter AS (
+         SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS inter
+         FROM shingles a JOIN shingles b
+           ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       ),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
+       SELECT p.left_doc, p.right_doc,
+              round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+       FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.left_doc
+                         JOIN sizes sb ON sb.doc_id = p.right_doc
+       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+       ORDER BY left_doc, right_doc""",
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Character-3-gram Jaccard near-dup detection, blocked by
+    (lang, source) — set intersection via a shingle equi-join, entirely
+    JVM-side (explode + join + agg; zero Python). At scale the shingle
+    join is the textbook document-similarity join; the (lang, source)
+    block bounds the candidate space like norm_name does in the ER
+    pipeline."""
+    d = _t(spark, sf, "documents")
+    shingles = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.select(
+        F.col("doc_id").alias("left_doc"), "lang", "source", "sh"
+    )
+    b = shingles.select(
+        F.col("doc_id").alias("right_doc"), "lang", "source", "sh"
+    )
+    inter = (
+        a.join(b, ["lang", "source", "sh"])
+        .filter(F.col("left_doc") < F.col("right_doc"))
+        .groupBy("left_doc", "right_doc")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("left_doc"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("right_doc"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "left_doc")
+        .join(sb, "right_doc")
+        .filter(jac >= 0.4)
+        .select("left_doc", "right_doc", F.round(jac, 4).alias("jaccard"))
+        .orderBy("left_doc", "right_doc")
+    )
+
+
+@register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check
+def dedup_minhash_lsh(spark, sf):
+    """MinHash-LSH near-dup candidates on documents (the scale path for
+    dedup_ngram_jaccard: signatures are fixed-width regardless of doc
+    size, banding makes the join linear in candidates)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("file_id"), F.col("text").alias("content")
+    )
+    from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(d, num_perm=128, bands=32, shingle_k=5)
+    return pairs.select(
+        F.col("left_id").cast("long").alias("left_doc"),
+        F.col("right_id").cast("long").alias("right_doc"),
+    ).orderBy("left_doc", "right_doc")
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (numpy bit-bucket voting)."""
+    if not tokens:
+        return 0
+    hs = np.array(
+        [np.uint64(int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "big")) for t in tokens],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for b in np.nonzero(votes > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(b)
+    return int(sig)
+
+
+@register("dedup_simhash", None)  # sketch-based: rows-only driver check
+def dedup_simhash(spark, sf):
+    """SimHash fingerprints + near-dup pairs at Hamming distance <= 3,
+    banded on 16-bit chunks (a hash with d<=3 differing bits shares at
+    least one of 4 16-bit bands — standard simhash blocking), so the
+    join is an equi-join, never a cross product."""
+    d = _t(spark, sf, "documents")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [simhash64((t or "").lower().split()) for t in pdf["text"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": np.array(sigs, dtype=np.uint64).astype(np.int64)})
+
+    sigs = d.select("doc_id", "text").mapInPandas(compute, "doc_id long, sig long")
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[(F.shiftrightunsigned(F.col("sig"), k * 16).bitwiseAND(F.lit(0xFFFF))) for k in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col("doc_id").alias("left_doc"), F.col("sig").alias("sig_l"), "band_idx", "band_val")
+    b = banded.select(F.col("doc_id").alias("right_doc"), F.col("sig").alias("sig_r"), "band_idx", "band_val")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("left_doc") < F.col("right_doc"))
+        .dropDuplicates(["left_doc", "right_doc"])
+        .withColumn("hamming", F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    return pairs.select("left_doc", "right_doc", "hamming").orderBy("left_doc", "right_doc")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,
+              round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE a.vec_id < 50
+         AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+       ORDER BY left_vec, right_vec""",
+)
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup: pairs within the same label block with
+    cosine >= 0.95. The dot/norm math is native (F.aggregate/F.zip_with
+    — no UDF); the label equi-join is the block that bounds pairs."""
+    e = _t(spark, sf, "embeddings")
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("left_vec"), F.col("label"), F.col("embedding").alias("va")
+    )
+    b = e.select(F.col("vec_id").alias("right_vec"), F.col("label"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, "label")
+        .filter(F.col("left_vec") < F.col("right_vec"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.95)
+        .select("left_vec", "right_vec", F.round("cos_sim_raw", 4).alias("cos_sim"))
+        .orderBy("left_vec", "right_vec")
+    )

@@ -1,0 +1,470 @@
+"""Operator-parity query library (driver contract; SURVEY §5.5, §7 Stage 7).
+
+Each entry implements one operator family from SURVEY.md §2 as a
+DataFrame program over the driver testdata tables
+(region nation customer supplier part orders lineitem events documents
+embeddings), together with the ANSI-SQL oracle DuckDB runs on the same
+parquet. Column names and value rounding are aligned on both sides
+(the driver hashes values after sorting by column name).
+
+Conventions for oracle parity:
+- every computed column is aliased identically in both programs;
+- double aggregates go through DECIMAL(18,4) so the sum is exact and
+  engine-order-independent, then back to DOUBLE;
+- timestamps are formatted to strings (Spark session TZ is pinned UTC).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[Query, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: Query) -> Query:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Query]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S-family: scans, pagination, counts (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_order_page",
+    """SELECT doc_id, lang, n_chars FROM documents
+       ORDER BY lang, doc_id LIMIT 25 OFFSET 50""",
+)
+def s5_order_page(spark, sf):
+    """S5: full scan + ORDER BY + LIMIT/OFFSET (core.py:192-201).
+    offset() is native in Spark >= 3.4 — no row_number fallback."""
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "doc_id")
+        .offset(50)
+        .limit(25)
+    )
+
+
+@register("s6_count", "SELECT count(*) AS n_rows FROM lineitem")
+def s6_count(spark, sf):
+    """S6: COUNT(*) (core.py:203-206)."""
+    return _t(spark, sf, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "s8_delete_batch",
+    """SELECT e.event_id, e.event_type FROM events e
+       WHERE e.event_id NOT IN (
+         SELECT event_id FROM events WHERE value < 10.0)
+       ORDER BY e.event_id LIMIT 100""",
+)
+def s8_delete_batch(spark, sf):
+    """S8: DELETE by key set == left-anti join against the delete set
+    (core.py:226-234). Expressed as the surviving-rows view."""
+    ev = _t(spark, sf, "events")
+    delete_set = ev.filter(F.col("value") < 10.0).select("event_id")
+    return (
+        ev.join(delete_set, "event_id", "left_anti")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-family: projections / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p9_like_search",
+    """SELECT doc_id, lang, source FROM documents
+       WHERE lower(text) LIKE '%window%' OR lower(source) LIKE '%window%'
+          OR lower(lang) LIKE '%window%'
+       ORDER BY doc_id""",
+)
+def p9_like_search(spark, sf):
+    """P9: case-folded LIKE over 3 columns, OR-ed (core.py:208-218)."""
+    d = _t(spark, sf, "documents")
+    q = "window"
+    return (
+        d.filter(
+            F.lower(F.col("text")).contains(q)
+            | F.lower(F.col("source")).contains(q)
+            | F.lower(F.col("lang")).contains(q)
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "p11_short_filter",
+    """SELECT event_id, round(value, 4) AS v FROM events
+       WHERE value > 0 AND value < 5.0 ORDER BY event_id""",
+)
+def p11_short_filter(spark, sf):
+    """P11: 0 < x < threshold delete-set predicate (core.py:853-887)."""
+    return (
+        _t(spark, sf, "events")
+        .filter((F.col("value") > 0) & (F.col("value") < 5.0))
+        .select("event_id", F.round("value", 4).alias("v"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "p3_blocking_key",
+    """SELECT doc_id,
+              lower(trim(CASE WHEN strpos(stem, ' - ') > 0
+                         THEN substring(stem, strpos(stem, ' - ') + 3)
+                         ELSE stem END)) AS bk
+       FROM (SELECT doc_id,
+                    concat(source, ' - doc ', CAST(doc_id AS VARCHAR)) AS stem
+             FROM documents)
+       ORDER BY doc_id""",
+)
+def p3_blocking_key(spark, sf):
+    """P3+P6: the reference blocking-key normalization (title-after-' - ',
+    lower, trim; core.py:412-419,692-693) exercised on a synthesized
+    stem so DuckDB can replay it."""
+    d = _t(spark, sf, "documents").withColumn(
+        "stem", F.concat(F.col("source"), F.lit(" - doc "), F.col("doc_id").cast("string"))
+    )
+    bk = F.lower(
+        F.trim(
+            F.when(
+                F.instr(F.col("stem"), " - ") > 0,
+                F.expr("substring(stem, instr(stem, ' - ') + 3)"),
+            ).otherwise(F.col("stem"))
+        )
+    )
+    return d.select("doc_id", bk.alias("bk")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_anti_join",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c.c_custkey""",
+)
+def j4_anti_join(spark, sf):
+    """J4: existence anti-join (core.py:961-991) — customers with no
+    orders. Catalyst plans a broadcast/shuffled anti join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "j3_broadcast_backjoin",
+    """SELECT n.n_name, count(*) AS n_customers,
+              CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def j3_broadcast_backjoin(spark, sf):
+    """J3: small-side broadcast back-join (verdicts->groups,
+    core.py:758-766): nation is tiny -> broadcast hash join, no shuffle
+    of the big side."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "j2_exact_block",
+    """SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+       FROM documents GROUP BY lang, source
+       HAVING count(*) > 1 ORDER BY lang, source""",
+)
+def j2_exact_block(spark, sf):
+    """J2: exact-key blocking = hash aggregate on the block key
+    (core.py:829-837); blocks of size > 1 are candidates."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/W-family: aggregation + windows (SURVEY §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_survivorship",
+    """SELECT o_custkey, o_orderkey AS keeper_order,
+              round(o_totalprice, 2) AS keeper_price
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             FROM orders)
+       WHERE rn = 1 ORDER BY o_custkey""",
+)
+def a2_survivorship(spark, sf):
+    """A2/W2: argmax survivorship — rank-1 per group by (value desc, key
+    asc) with a deterministic tie-break (core.py:803-826)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("keeper_order"),
+            F.round("o_totalprice", 2).alias("keeper_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "w3_collision_numbering",
+    """SELECT p_partkey, p_brand,
+              row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) - 1 AS collision_n
+       FROM part ORDER BY p_brand, p_partkey LIMIT 200""",
+)
+def w3_collision_numbering(spark, sf):
+    """W3: collision suffix numbering (core.py:1092-1095)."""
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            (F.row_number().over(w) - 1).alias("collision_n"),
+        )
+        .orderBy("p_brand", "p_partkey")
+        .limit(200)
+    )
+
+
+@register(
+    "w1_sessionize",
+    """SELECT user_id, session_id, count(*) AS n_events
+       FROM (SELECT user_id, ts,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM (SELECT user_id, ts, event_id,
+                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                               OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+                               THEN 1 ELSE 0 END AS is_new
+                   FROM events))
+       GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+)
+def w1_sessionize(spark, sf):
+    """W1 (approximation): lag + cumulative-sum sessionization — the
+    window-native approximation of the reference's run-grouping (SURVEY
+    §2.5 notes it compares to the PREVIOUS row, not the group head; the
+    exact operator lives in operators/rungroup.py)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events")
+    # parquet timestamps load as TIMESTAMP_NTZ which can't cast to long
+    # directly; hop through TIMESTAMP (session TZ is pinned UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sessions = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary: the canonical groupBy+multi-agg.
+    Partial (map-side) aggregation + whole-stage codegen are the scale
+    path; decimals make the result engine-order-independent."""
+    l = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue",
+    """SELECT o.o_orderkey,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey
+       ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+)
+def q3_top_revenue(spark, sf):
+    """TPC-H Q3-shaped 3-way join + agg + top-k: Catalyst reorders the
+    joins; the segment filter prunes customer before the join."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_except",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+       EXCEPT SELECT doc_id FROM documents WHERE n_chars < 100
+       ORDER BY doc_id""",
+)
+def setop_except(spark, sf):
+    """Except-by-predicate (core.py:643 eviction semantics)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .exceptAll(d.filter(F.col("n_chars") < 100).select("doc_id"))
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-family scalar functions (SURVEY §2.8) — quality CASE etc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f13_quality_case",
+    """SELECT lang,
+              CASE WHEN lang IN ('en') THEN 3
+                   WHEN lang IN ('de', 'fr') THEN 2
+                   WHEN lang = 'es' THEN 1 ELSE 0 END AS quality,
+              count(*) AS n
+       FROM documents GROUP BY lang ORDER BY lang""",
+)
+def f13_quality_case(spark, sf):
+    """F13: CASE quality score (core.py:787-801)."""
+    q = (
+        F.when(F.col("lang").isin("en"), 3)
+        .when(F.col("lang").isin("de", "fr"), 2)
+        .when(F.col("lang") == "es", 1)
+        .otherwise(0)
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("lang", q.alias("quality"))
+        .groupBy("lang", "quality")
+        .agg(F.count("*").alias("n"))
+        .select("lang", "quality", "n")
+        .orderBy("lang")
+    )
+
+
+@register(
+    "f7_format_duration",
+    """SELECT event_id,
+              concat(CAST(CAST(floor(value) AS BIGINT) // 60 AS VARCHAR), ':',
+                     CASE WHEN CAST(floor(value) AS BIGINT) % 60 < 10 THEN '0' ELSE '' END,
+                     CAST(CAST(floor(value) AS BIGINT) % 60 AS VARCHAR)) AS mmss
+       FROM events WHERE value >= 1 ORDER BY event_id LIMIT 500""",
+)
+def f7_format_duration(spark, sf):
+    """F7: m:ss duration formatting (core.py:906). floor() on both
+    sides: DuckDB ROUNDS double->int casts, Spark truncates."""
+    v = F.floor("value").cast("bigint")
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("value") >= 1)
+        .select(
+            "event_id",
+            F.format_string("%d:%02d", (v / 60).cast("bigint"), v % 60).alias("mmss"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

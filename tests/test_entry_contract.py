@@ -1,0 +1,77 @@
+"""Replicates the driver's correctness gate: run every queries() entry
+at sf0.01 and compare row count + (sorted-by-name) values against the
+DuckDB oracle. Non-SQL entries get the rows-only check."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 4)
+                if v == -0.0:
+                    v = 0.0
+                if math.isnan(v):
+                    v = "NaN"
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ALL = sorted(entry_mod.queries())
+SQL = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n in SQL])
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(SQL[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    assert _normalize(srows, scols) == _normalize(drows, dcols), f"{name}: values differ"
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in SQL and n != "er_pipeline_clusters"])
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert "entity_id" in df.columns
