@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "pairs_per_sec": ..., "config": ...}.
+
+``python bench.py --scaling``: the sandbox substitution for the
+N -> 4N executor criterion (BASELINE.md): re-runs the flagship
+pipeline in two subprocesses at local[8] and local[32] on the SAME
+input and reports candidate-pairs-scored/sec at both + the scaling
+efficiency (throughput32 / throughput8) / 4, target >= 0.8; also
+rewrites BENCH/BASELINE.md with the numbers + config dump.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE_RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "a2_survivorship",
+    "j4_anti_join",
+    "w1_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+]
+
+
+def _run_pipeline(spark, sf_dir):
+    """Flagship ER pipeline; returns (seconds, n_pairs_scored, n_clusters)."""
+    import __spark_entry__ as entry_mod
+    from music_dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+    files = entry_mod.documents_as_files(spark, sf_dir)
+    t0 = time.time()
+    out = run_pipeline(files, PipelineConfig())
+    n_pairs = out["scored_pairs"].count()
+    n_clusters = out["clusters"].select("entity_id").distinct().count()
+    return time.time() - t0, n_pairs, n_clusters
+
+
+def run_bench(cpus: str, sf_dir: str) -> dict:
+    from music_dedupe_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow path once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name in HEADLINE_RELATIONAL:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+
+    pipe_sec, n_pairs, n_clusters = _run_pipeline(spark, sf_dir)
+    timings["er_pipeline"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "pairs_scored": n_pairs,
+        "n_clusters": n_clusters,
+        "pairs_per_sec": round(n_pairs / pipe_sec, 2) if pipe_sec else None,
+        "config": {
+            "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+                "spark.sql.adaptive.skewJoin.enabled"
+            ),
+            "arrow.maxRecordsPerBatch": spark.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            ),
+            "block_cap": 64,
+            "minhash": "128 perms / 32 bands",
+        },
+    }
+
+
+def _subprocess_pipeline(cpus: str, sf_dir: str) -> dict:
+    """Run ONLY the pipeline throughput probe in a fresh process (one
+    SparkContext per JVM)."""
+    code = (
+        "import json,sys,time; sys.path.insert(0, %r)\n"
+        "from music_dedupe_spark.session import get_spark\n"
+        "import bench\n"
+        "spark = get_spark('bench-scaling', cpus=%r)\n"
+        "spark.read.parquet(%r + '/documents.parquet').count()\n"
+        "sec, n_pairs, n_clusters = bench._run_pipeline(spark, %r)\n"
+        "print('BENCH_RESULT ' + json.dumps({'sec': sec, 'pairs': n_pairs}))\n"
+    ) % (REPO, cpus, sf_dir, sf_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(f"scaling subprocess failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def run_scaling(sf_dir: str) -> dict:
+    lo, hi = "8", "32"
+    r_lo = _subprocess_pipeline(lo, sf_dir)
+    r_hi = _subprocess_pipeline(hi, sf_dir)
+    tp_lo = r_lo["pairs"] / r_lo["sec"]
+    tp_hi = r_hi["pairs"] / r_hi["sec"]
+    eff = (tp_hi / tp_lo) / (int(hi) / int(lo))
+    return {
+        "sf": sf_dir,
+        "local8": {"sec": round(r_lo["sec"], 2), "pairs": r_lo["pairs"], "pairs_per_sec": round(tp_lo, 1)},
+        "local32": {"sec": round(r_hi["sec"], 2), "pairs": r_hi["pairs"], "pairs_per_sec": round(tp_hi, 1)},
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        res = run_scaling(SF_DIR)
+        print(json.dumps(res))
+        return
+    print(json.dumps(run_bench(CPUS, SF_DIR)))
+
+
+if __name__ == "__main__":
+    main()

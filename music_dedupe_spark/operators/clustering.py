@@ -36,8 +36,9 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges_uv: DataFrame) -> DataFrame:
-    """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u})."""
+    """For each node u: connect every strictly-larger neighbor v to
+    m = min(N(u) ∪ {u}). Emits canonical (u, v) with u < v directly
+    (m <= u < v always), one dedup shuffle, no extra canonicalization."""
     directed = edges_uv.select("u", "v").unionAll(
         edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -46,29 +47,26 @@ def _large_star(edges_uv: DataFrame) -> DataFrame:
     return (
         directed.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("left_id"), m.alias("right_id"))
-        .filter(F.col("left_id") != F.col("right_id"))
-        .dropDuplicates()
+        .select(m.alias("u"), F.col("v").alias("v"))
+        .dropDuplicates(["u", "v"])
     )
 
 
 def _small_star(edges_uv: DataFrame) -> DataFrame:
-    """For each node u over smaller neighbors N<(u): connect
-    N<(u) ∪ {u} to its minimum."""
+    """For each node u over strictly-smaller neighbors N<(u): connect
+    N<(u) ∪ {u} to its minimum m. Emits canonical (m, x), m < x."""
     directed = (
         edges_uv.select("u", "v")
         .unionAll(edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("v") < F.col("u"))  # u is the larger endpoint
     )
     mins = directed.groupBy("u").agg(F.min("v").alias("minv"))
-    nodes = directed.select("u", "v").unionAll(
-        directed.select("u", F.col("u").alias("v")).dropDuplicates()
-    )
+    nodes = directed.select("u", "v").unionAll(directed.select("u", F.col("u").alias("v")))
     return (
         nodes.join(mins, "u")
         .filter(F.col("v") != F.col("minv"))
-        .select(F.col("v").alias("left_id"), F.col("minv").alias("right_id"))
-        .dropDuplicates()
+        .select(F.col("minv").alias("u"), F.col("v").alias("v"))
+        .dropDuplicates(["u", "v"])
     )
 
 
@@ -90,7 +88,7 @@ def connected_components(
     entity_id is the component's minimum member id (deterministic
     canonical representative — FIXTURES.md §3)."""
     spark = edges.sparkSession
-    cur = _canonical(edges)
+    cur = _canonical(edges).localCheckpoint()
     start_iter = 0
 
     if checkpoint_dir and resume:
@@ -99,15 +97,19 @@ def connected_components(
             cur = spark.read.parquet(f"{checkpoint_dir}/iter_{it:04d}").select(
                 F.col("u").alias("left_id"), F.col("v").alias("right_id")
             )
-            cur = _canonical(cur)
+            cur = _canonical(cur).localCheckpoint()
             start_iter = it + 1
 
     prev_sum: tuple[int, int] | None = None
     for it in range(start_iter, max_iterations):
         t0 = time.time()
-        ls = _canonical(_large_star(cur.select(F.col("u"), F.col("v"))))
-        ss = _canonical(_small_star(ls.select(F.col("u"), F.col("v"))))
+        # materialize each star phase: the two phases reference their
+        # input twice (union of both directions), so an unmaterialized
+        # plan recomputes every upstream shuffle per branch.
+        ls = _large_star(cur.select(F.col("u"), F.col("v"))).persist()
+        ss = _small_star(ls.select(F.col("u"), F.col("v")))
         ss = ss.localCheckpoint()  # truncate lineage every iteration
+        ls.unpersist()
         checksum = _edge_checksum(ss)
         if checkpoint_dir:
             path = f"{checkpoint_dir}/iter_{it:04d}"

@@ -97,6 +97,7 @@ def sorted_run_groups(
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             head: str | None = None
             head_id: str | None = None
+            first_key: str | None = None
             pid = None
             started = False
             n_rows = 0
@@ -105,6 +106,7 @@ def sorted_run_groups(
                     continue
                 if not started:
                     pid = int(pdf["_pid"].iloc[0])
+                    first_key = pdf["_key"].iloc[0]
                     carry = carries.get(pid)
                     if carry is not None:
                         head, head_id = carry
@@ -119,8 +121,14 @@ def sorted_run_groups(
                     {"_id": pdf["_id"], "_key": pdf["_key"], "_pid": pdf["_pid"], "_head": heads}
                 )
             if n_rows:
+                # summary marker: outgoing open-group (key, id) + first key
                 yield pd.DataFrame(
-                    {"_id": [_SUMMARY], "_key": [head], "_pid": [pid], "_head": [head_id]}
+                    {
+                        "_id": [_SUMMARY],
+                        "_key": [head],
+                        "_pid": [pid],
+                        "_head": [head_id + "\x1f" + first_key],
+                    }
                 )
 
         return run
@@ -129,14 +137,16 @@ def sorted_run_groups(
     carries: dict[int, tuple[str, str]] = {}
     rounds = max_rounds or n + 1
     result = None
-    for _ in range(rounds):
+    for rnd in range(rounds):
         result = parted.mapInPandas(make_pass(carries), schema=schema).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        outs = {
-            int(r["_pid"]): (r["_key"], r["_head"])
-            for r in result.filter(F.col("_id") == _SUMMARY).collect()
-        }
+        outs = {}
+        firsts = {}
+        for r in result.filter(F.col("_id") == _SUMMARY).collect():
+            head_id, first_key = r["_head"].split("\x1f", 1)
+            outs[int(r["_pid"])] = (r["_key"], head_id)
+            firsts[int(r["_pid"])] = first_key
         # carry into partition p = outgoing head of the nearest non-empty
         # predecessor partition
         new_carries: dict[int, tuple[str, str]] = {}
@@ -146,6 +156,13 @@ def sorted_run_groups(
                 new_carries[pid] = prev
             prev = outs[pid]
         if new_carries == carries:
+            break
+        # absorption shortcut: a carry only changes a partition's result
+        # when its first row would JOIN the incoming open group; if no
+        # boundary fuzzy-joins, this round is already the global pass.
+        if rnd == 0 and not any(
+            fuzz_ratio(c[0], firsts[p]) > threshold for p, c in new_carries.items()
+        ):
             break
         carries = new_carries
         result.unpersist()

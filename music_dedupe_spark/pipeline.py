@@ -35,6 +35,8 @@ class PipelineConfig:
     shingle_k: int = 7
     checkpoint_dir: str | None = None
     resume: bool = False
+    # set by run_pipeline (features.count()); callers may pre-set to skip
+    n_rows_hint: int | None = None
 
 
 def eligible_files(files: DataFrame) -> DataFrame:
@@ -60,8 +62,16 @@ def generate_candidates(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
         blocking.content_sha_star(features),
         blocking.exact_key_pairs(features, cap=cfg.block_cap),
     ]
+    # size the run-group scan: ~50k rows per sequential partition pass
+    # (Python O(rows) per partition), clamped to the shuffle width
+    n_rows = cfg.n_rows_hint
+    shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rg_parts = min(shuffle_n, max(1, (n_rows or 10**9) // 50_000 + 1))
     rg = rungroup.sorted_run_groups(
-        features, key_col="norm_name", threshold=cfg.rungroup_threshold
+        features,
+        key_col="norm_name",
+        threshold=cfg.rungroup_threshold,
+        num_partitions=rg_parts,
     )
     channels.append(
         rungroup.group_pairs(rg, max_group_size=cfg.block_cap).withColumn(
@@ -88,6 +98,13 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
     if cfg.checkpoint_dir:
         _checkpoint(features, f"{cfg.checkpoint_dir}/stage0_features")
         features = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage0_features")
+    else:
+        # each downstream stage (4 blocking channels, scoring join, CC
+        # loop, survivorship) re-reads features: persist once
+        features = features.persist()
+
+    if cfg.n_rows_hint is None:
+        cfg.n_rows_hint = features.count()  # also materializes the persist
 
     candidate_pairs = generate_candidates(features, cfg)
     if cfg.checkpoint_dir:
@@ -95,13 +112,17 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         candidate_pairs = files.sparkSession.read.parquet(
             f"{cfg.checkpoint_dir}/stage1_candidates"
         )
+    else:
+        candidate_pairs = candidate_pairs.persist()
 
     scored = scoring.score_pairs(scoring.pair_features(candidate_pairs, features), cfg.scoring)
     if cfg.checkpoint_dir:
         _checkpoint(scored, f"{cfg.checkpoint_dir}/stage2_scored")
         scored = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage2_scored")
+    else:
+        scored = scored.persist()
 
-    matched = scoring.matched_pairs(scored)
+    matched = scoring.matched_pairs(scored).persist()
     assignment = clustering.connected_components(
         matched,
         checkpoint_dir=f"{cfg.checkpoint_dir}/cc" if cfg.checkpoint_dir else None,
@@ -112,7 +133,7 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         features.select(F.col("file_id").alias("member_id"))
         .join(assignment.select("member_id"), "member_id", "left_anti")
         .withColumn("entity_id", F.col("member_id"))
-    )
+    ).persist()
     ranked = rank_survivors(
         features.join(
             all_assign, features["file_id"] == all_assign["member_id"]
