@@ -1,0 +1,67 @@
+"""Structured Streaming: incremental ingest with resume (T1/T5) and
+watermarked windowed metrics (T2) — SURVEY §2.9."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_dedupe_spark.streaming.incremental import (
+    incremental_ingest,
+    stream_event_metrics,
+    windowed_event_metrics,
+)
+
+
+def test_incremental_ingest_and_resume(spark, corpus, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    full = spark.createDataFrame(corpus.files)
+    half1 = full.filter(F.crc32("path") % 2 == 0)
+    half2 = full.filter(F.crc32("path") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    q = incremental_ingest(spark, src, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+
+    # new files arrive; a NEW query with the same checkpoint resumes
+    # from committed offsets and processes only the delta
+    half2.write.mode("append").parquet(src)
+    q2 = incremental_ingest(spark, src, sink, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    out = spark.read.parquet(sink)
+    from music_dedupe_spark.pipeline import eligible_files
+
+    expected = eligible_files(full).count()
+    assert out.count() == expected
+    # no duplicates from the resume (exactly-once file source offsets)
+    assert out.select("file_id").distinct().count() == expected
+
+
+def test_windowed_event_metrics_batch_parity(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = windowed_event_metrics(ev)
+    total = agg.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+
+
+def test_stream_event_metrics_memory_sink(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000).write.parquet(src)
+    q = stream_event_metrics(spark, src, queryName="ev_metrics_test")
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM ev_metrics_test")
+    # append mode only emits windows the watermark has closed; with a
+    # bounded source the final windows stay open -> emitted count is a
+    # subset, but schema + rows must be well-formed
+    assert set(out.columns) == {"window_start", "event_type", "n", "total_value"}
+    assert out.count() >= 0
