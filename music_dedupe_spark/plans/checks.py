@@ -1,0 +1,44 @@
+"""Physical-plan assertions (SURVEY §4): the 100 TB checklist encoded
+as testable predicates — filters pushed to the parquet scan, column
+pruning in ReadSchema, broadcast joins where a side is small, and
+whole-stage codegen coverage. Used by tests/test_plans.py so a plan
+regression fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    txt = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", txt):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in every scan's ReadSchema (column-pruning check)."""
+    txt = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", txt):
+        cols.extend(c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip())
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    return explain_str(df).count("WholeStageCodegen")

@@ -1,0 +1,54 @@
+"""Plan-shape assertions: predicate pushdown, column pruning, broadcast
+joins — the scale checklist from SURVEY §4 as tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_dedupe_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_ingest_scan_prunes_and_pushes(spark, files_df, corpus_dir):
+    # the ingest lang predicate must reach the parquet scan
+    from music_dedupe_spark.pipeline import eligible_files
+
+    df = eligible_files(spark.read.parquet(f"{corpus_dir}/files.parquet")).select("path")
+    pf = pushed_filters(df)
+    assert any("lang" in f for f in pf), pf
+
+
+def test_broadcast_join_small_dim(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    assert has_broadcast_join(j)
+
+
+def test_group_pairs_small_side_broadcast(spark):
+    # the run-group small-groups semi-join is explicitly broadcast
+    from music_dedupe_spark.operators.rungroup import group_pairs, sorted_run_groups
+
+    df = spark.createDataFrame(
+        [("kkkkkkkk", f"id{i}") for i in range(6)], "norm_name string, file_id string"
+    )
+    pairs = group_pairs(sorted_run_groups(df, num_partitions=2))
+    assert has_broadcast_join(pairs)
