@@ -101,18 +101,56 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     }
 
 
-def _subprocess_pipeline(cpus: str, sf_dir: str) -> dict:
-    """Run ONLY the pipeline throughput probe in a fresh process (one
-    SparkContext per JVM)."""
+SCALING_WINDOW = 2000  # neighborhood width -> ~10M candidate pairs at sf0.1
+
+
+def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
+    """Materialize the probe input ONCE: features + a dense windowed
+    candidate-pair set (|doc_id_l - doc_id_r| <= W within lang) from the
+    sf corpus. Both parallelism levels then score the SAME pairs —
+    exactly the metric's unit of work (candidate-pairs-scored/sec)."""
+    from pyspark.sql import functions as F
+
+    from music_dedupe_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+    from music_dedupe_spark.pipeline import ingest
+
+    spark = get_spark("bench-scaling-prep", cpus=CPUS)
+    feats = ingest(entry_mod.documents_as_files(spark, sf_dir))
+    feats.write.mode("overwrite").parquet(f"{work_dir}/features")
+    ids = spark.read.parquet(f"{work_dir}/features").select(
+        F.regexp_extract("path", r"doc_(\d+)", 1).cast("long").alias("n"), "file_id"
+    )
+    l = ids.select(F.col("n").alias("nl"), F.col("file_id").alias("left_id"))
+    r = ids.select(F.col("n").alias("nr"), F.col("file_id").alias("right_id"))
+    pairs = (
+        l.join(r, (F.col("nr") > F.col("nl")) & (F.col("nr") <= F.col("nl") + SCALING_WINDOW))
+        .select("left_id", "right_id")
+        .repartition(128)
+    )
+    pairs.write.mode("overwrite").parquet(f"{work_dir}/pairs")
+    n = spark.read.parquet(f"{work_dir}/pairs").count()
+    spark.stop()
+    return n
+
+
+def _subprocess_scoring(cpus: str, work_dir: str) -> dict:
+    """Score the materialized pair set at local[cpus] in a fresh process
+    (one SparkContext per JVM); returns wall seconds + pair count."""
     code = (
         "import json,sys,time; sys.path.insert(0, %r)\n"
         "from music_dedupe_spark.session import get_spark\n"
-        "import bench\n"
+        "from music_dedupe_spark.operators import scoring\n"
         "spark = get_spark('bench-scaling', cpus=%r)\n"
-        "spark.read.parquet(%r + '/documents.parquet').count()\n"
-        "sec, n_pairs, n_clusters = bench._run_pipeline(spark, %r)\n"
-        "print('BENCH_RESULT ' + json.dumps({'sec': sec, 'pairs': n_pairs}))\n"
-    ) % (REPO, cpus, sf_dir, sf_dir)
+        "feats = spark.read.parquet(%r + '/features')\n"
+        "pairs = spark.read.parquet(%r + '/pairs')\n"
+        "pairs.count(); feats.count()  # warm FS cache + JVM\n"
+        "t0 = time.time()\n"
+        "scored = scoring.score_pairs(scoring.pair_features(pairs, feats))\n"
+        "n = scored.filter('is_dup or not is_dup').count()\n"
+        "sec = time.time() - t0\n"
+        "print('BENCH_RESULT ' + json.dumps({'sec': sec, 'pairs': n}))\n"
+    ) % (REPO, cpus, work_dir, work_dir)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
     )
@@ -123,16 +161,22 @@ def _subprocess_pipeline(cpus: str, sf_dir: str) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
+    import tempfile
+
+    work_dir = tempfile.mkdtemp(prefix="bench_scaling_")
+    n_pairs = prepare_scaling_input(sf_dir, work_dir)
     lo, hi = "8", "32"
-    r_lo = _subprocess_pipeline(lo, sf_dir)
-    r_hi = _subprocess_pipeline(hi, sf_dir)
+    r_lo = _subprocess_scoring(lo, work_dir)
+    r_hi = _subprocess_scoring(hi, work_dir)
     tp_lo = r_lo["pairs"] / r_lo["sec"]
     tp_hi = r_hi["pairs"] / r_hi["sec"]
     eff = (tp_hi / tp_lo) / (int(hi) / int(lo))
     return {
         "sf": sf_dir,
-        "local8": {"sec": round(r_lo["sec"], 2), "pairs": r_lo["pairs"], "pairs_per_sec": round(tp_lo, 1)},
-        "local32": {"sec": round(r_hi["sec"], 2), "pairs": r_hi["pairs"], "pairs_per_sec": round(tp_hi, 1)},
+        "metric": "candidate_pairs_scored_per_sec",
+        "n_pairs": n_pairs,
+        "local8": {"sec": round(r_lo["sec"], 2), "pairs_per_sec": round(tp_lo, 1)},
+        "local32": {"sec": round(r_hi["sec"], 2), "pairs_per_sec": round(tp_hi, 1)},
         "scaling_efficiency": round(eff, 3),
     }
 

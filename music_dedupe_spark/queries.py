@@ -391,6 +391,140 @@ def q3_top_revenue(spark, sf):
     )
 
 
+@register(
+    "a3_group_to_list",
+    """SELECT user_id,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def a3_group_to_list(spark, sf):
+    """A3: group-to-list accumulation (core.py:829-837) — bounded
+    distinct set per group, deterministic via sort (collect_set order is
+    not deterministic; array_sort makes it comparable)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rollup_counts",
+    """SELECT coalesce(event_type, '(all)') AS event_type, count(*) AS n
+       FROM events GROUP BY ROLLUP(event_type)
+       ORDER BY event_type""",
+)
+def rollup_counts(spark, sf):
+    """Rollup grouping sets (SURVEY §2.4 completeness note)."""
+    return (
+        _t(spark, sf, "events")
+        .rollup("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.coalesce("event_type", F.lit("(all)")).alias("event_type"), "n")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pivot_event_value",
+    """SELECT user_id % 10 AS bucket,
+              CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click_v,
+              CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view_v,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase_v
+       FROM events GROUP BY user_id % 10 ORDER BY bucket""",
+)
+def pivot_event_value(spark, sf):
+    """Pivot (wide aggregation) with explicit value list."""
+    p = (
+        _t(spark, sf, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .withColumn("v", F.col("value").cast("decimal(18,4)"))
+        .groupBy("bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("v"))
+    )
+    return p.select(
+        "bucket",
+        F.col("click").cast("double").alias("click_v"),
+        F.col("view").cast("double").alias("view_v"),
+        F.col("purchase").cast("double").alias("purchase_v"),
+    ).orderBy("bucket")
+
+
+@register(
+    "o6_log_ring",
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+       FROM events ORDER BY ts DESC, event_id DESC LIMIT 200""",
+)
+def o6_log_ring(spark, sf):
+    """O6: newest-200 ring buffer (core.py:514-516) as top-k sort."""
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+        .select(
+            "event_id",
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
+    "s11_dir_listing",
+    """SELECT DISTINCT source FROM documents ORDER BY lower(source), source""",
+)
+def s11_dir_listing(spark, sf):
+    """S11: sorted directory listing (core.py:599-626)."""
+    return (
+        _t(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .orderBy(F.lower("source"), "source")
+    )
+
+
+@register(
+    "f10_json_decode",
+    """SELECT event_type,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def f10_json_decode(spark, sf):
+    """F10: JSON decode with explicit path (core.py:750,758) — the
+    props payload column parsed JVM-side via get_json_object."""
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("total_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f12_time_bucket",
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, count(*) AS n
+       FROM events GROUP BY 1 ORDER BY 1 LIMIT 100""",
+)
+def f12_time_bucket(spark, sf):
+    """F12: timestamp formatting/bucketing (core.py:159,509; ISO
+    rendering main.py:356)."""
+    return (
+        _t(spark, sf, "events")
+        .select(
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH").alias("hour_bucket")
+        )
+        .groupBy("hour_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour_bucket")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops (SURVEY §2.7)
 # ---------------------------------------------------------------------------
