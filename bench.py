@@ -147,7 +147,11 @@ def _subprocess_scoring(cpus: str, work_dir: str) -> dict:
         "pairs.count(); feats.count()  # warm FS cache + JVM\n"
         "t0 = time.time()\n"
         "scored = scoring.score_pairs(scoring.pair_features(pairs, feats))\n"
-        "n = scored.filter('is_dup or not is_dup').count()\n"
+        "# aggregate over every score column so Catalyst cannot prune any\n"
+        "# of the similarity UDFs out of the probe\n"
+        "row = scored.selectExpr('count(*) n', 'sum(fuzz_key) a', 'sum(jw) b', "
+        "'sum(norm_lev) c', 'sum(jaccard) d', 'sum(cast(is_dup as int)) e').collect()[0]\n"
+        "n = row['n']\n"
         "sec = time.time() - t0\n"
         "print('BENCH_RESULT ' + json.dumps({'sec': sec, 'pairs': n}))\n"
     ) % (REPO, cpus, work_dir, work_dir)

@@ -24,12 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from music_dedupe_spark.functions.similarity import (
-    fuzz_ratio_udf,
-    jaro_winkler_udf,
-    norm_levenshtein_udf,
-    token_jaccard_udf,
-)
+from music_dedupe_spark.functions.similarity import name_scores_udf
 
 
 @dataclass(frozen=True)
@@ -71,15 +66,21 @@ def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None
     norm_lev (double), exact_content (bool), is_dup (bool).
     """
     cfg = cfg or ScoringConfig()
+    # token-set Jaccard stays entirely JVM-side (array_intersect/union
+    # dedupe internally = set semantics); shipping token arrays through
+    # Arrow was the scoring bottleneck AND scaled poorly (memory-bound).
+    n_inter = F.size(F.array_intersect("tokens_l", "tokens_r"))
+    n_union = F.size(F.array_union("tokens_l", "tokens_r"))
+    jaccard = F.when(n_union == 0, F.lit(1.0)).otherwise(n_inter / n_union)
     scored = (
         pairs_with_features.withColumn(
-            "fuzz_key", fuzz_ratio_udf(F.col("norm_name_l"), F.col("norm_name_r"))
+            "_ns", name_scores_udf(F.col("norm_name_l"), F.col("norm_name_r"))
         )
-        .withColumn("jw", jaro_winkler_udf(F.col("norm_name_l"), F.col("norm_name_r")))
-        .withColumn(
-            "norm_lev", norm_levenshtein_udf(F.col("norm_name_l"), F.col("norm_name_r"))
-        )
-        .withColumn("jaccard", token_jaccard_udf(F.col("tokens_l"), F.col("tokens_r")))
+        .withColumn("fuzz_key", F.col("_ns.fuzz_key"))
+        .withColumn("jw", F.col("_ns.jw"))
+        .withColumn("norm_lev", F.col("_ns.norm_lev"))
+        .drop("_ns")
+        .withColumn("jaccard", jaccard)
         .withColumn(
             "exact_content", F.col("content_sha256_l") == F.col("content_sha256_r")
         )
