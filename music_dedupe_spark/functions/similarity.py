@@ -188,25 +188,83 @@ def norm_levenshtein_series(a: pd.Series, b: pd.Series) -> pd.Series:
     return _dedup_apply(a, b, norm_levenshtein, "float64")
 
 
+def _pad_codes(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(n, max_len) uint32 codepoint matrix (0-padded) + length vector."""
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    width = max(1, int(lens.max()) if len(lens) else 1)
+    mat = np.zeros((len(strs), width), dtype=np.uint32)
+    for i, s in enumerate(strs):
+        if s:
+            mat[i, : len(s)] = _codes(s)
+    return mat, lens
+
+
+def _batch_dp(A: list[str], B: list[str], sub_cost: int) -> np.ndarray:
+    """Edit-distance DP vectorized ACROSS pairs: one (n, width) matrix op
+    per character step instead of one numpy call per char per pair —
+    ~50x less numpy dispatch overhead on short keys. sub_cost=2 gives
+    the indel distance (fuzz.ratio), 1 the classic Levenshtein."""
+    n = len(A)
+    Am, la = _pad_codes(A)
+    Bm, lb = _pad_codes(B)
+    maxa, maxb = Am.shape[1], Bm.shape[1]
+    j = np.arange(maxb + 1, dtype=np.int64)
+    prev = np.broadcast_to(j, (n, maxb + 1)).copy()
+    out = np.empty(n, dtype=np.int64)
+    out[la == 0] = lb[la == 0]
+    col = np.arange(n)
+    for i in range(1, maxa + 1):
+        cost = np.where(Bm == Am[:, i - 1][:, None], 0, sub_cost)
+        base = np.empty_like(prev)
+        base[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=base[:, 1:])
+        prev = np.minimum.accumulate(base - j, axis=1) + j
+        done = la == i
+        if done.any():
+            out[done] = prev[col[done], lb[done]]
+    return out
+
+
 def name_scores_frame(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     """All three name-similarity kernels in ONE pass over the DISTINCT
     (a, b) pairs of the batch: one Arrow hop instead of three, one
-    dedup, three cheap kernels per unique pair. This is the scoring hot
-    path at 10^12 scale — everything else in the score is JVM-native."""
-    key = pd.DataFrame({"a": a.fillna(""), "b": b.fillna("")})
-    uniq = key.drop_duplicates()
-    fuzz_v, jw_v, lev_v = [], [], []
-    for x, y in zip(uniq["a"], uniq["b"]):
-        fuzz_v.append(fuzz_ratio(x, y))
-        jw_v.append(jaro_winkler(x, y))
-        lev_v.append(norm_levenshtein(x, y))
-    lut = pd.DataFrame(
-        {"fuzz_key": fuzz_v, "jw": jw_v, "norm_lev": lev_v},
-        index=pd.MultiIndex.from_frame(uniq),
+    factorize-based dedup, batched-DP kernels over the unique pairs.
+    This is the scoring hot path at 10^12 scale — everything else in
+    the score is JVM-native."""
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    key = pd.Series(av) + "\x1f" + pd.Series(bv)
+    codes, _ = pd.factorize(key, sort=False)
+    _, first_idx = np.unique(codes, return_index=True)
+    ua = [av[i] for i in first_idx]
+    ub = [bv[i] for i in first_idx]
+
+    la = np.fromiter((len(s) for s in ua), dtype=np.float64, count=len(ua))
+    lb = np.fromiter((len(s) for s in ub), dtype=np.float64, count=len(ub))
+    lensum = la + lb
+    maxlen = np.maximum(la, lb)
+
+    indel = _batch_dp(ua, ub, 2).astype(np.float64)
+    lev = _batch_dp(ua, ub, 1).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fuzz_u = np.where(
+            lensum > 0, np.round(100.0 * (lensum - indel) / np.where(lensum > 0, lensum, 1)), 100.0
+        ).astype(np.int32)
+        lev_u = np.where(maxlen > 0, 1.0 - lev / np.where(maxlen > 0, maxlen, 1), 1.0)
+    jw_u = np.fromiter(
+        (jaro_winkler(x, y) for x, y in zip(ua, ub)), dtype=np.float64, count=len(ua)
     )
-    out = lut.reindex(pd.MultiIndex.from_frame(key)).reset_index(drop=True)
-    out.index = a.index
-    return out.astype({"fuzz_key": "int32", "jw": "float64", "norm_lev": "float64"})
+
+    # np.unique returns first_idx in unique-code order == code value order
+    out = pd.DataFrame(
+        {
+            "fuzz_key": fuzz_u[codes].astype("int32"),
+            "jw": jw_u[codes],
+            "norm_lev": lev_u[codes],
+        },
+        index=a.index,
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
