@@ -215,6 +215,64 @@ def j3_broadcast_backjoin(spark, sf):
 
 
 @register(
+    "j_semi_join",
+    """SELECT c.c_custkey, c.c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       ORDER BY c.c_custkey""",
+)
+def j_semi_join(spark, sf):
+    """Left-semi join (the EXISTS dual of J4; prefix-scoping semantics
+    of P2, core.py:643,677)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "cube_counts",
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+              coalesce(l_linestatus, '(all)') AS ls, count(*) AS n
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY rf, ls""",
+)
+def cube_counts(spark, sf):
+    """CUBE grouping sets (SURVEY §2.4 completeness)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@register("approx_distinct_parts", None)  # sketch: rows-only driver check
+def approx_distinct_parts(spark, sf):
+    """approx_count_distinct (HLL++) — the cheap block-cardinality
+    profiling primitive for the blocking layer (SURVEY §2.4 note).
+    Sketch output differs across engines -> rows-only check; accuracy
+    asserted in tests/test_entry_contract.py (within 5% of exact)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "j2_exact_block",
     """SELECT lang, source, count(*) AS n_docs,
               CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars

@@ -75,3 +75,9 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert "entity_id" in df.columns
+
+
+def test_approx_distinct_accuracy(spark):
+    rows = entry_mod.queries()["approx_distinct_parts"](spark, SF).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.05
