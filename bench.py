@@ -146,7 +146,7 @@ def _subprocess_scoring(cpus: str, work_dir: str) -> dict:
         "pairs = spark.read.parquet(%r + '/pairs')\n"
         "pairs.count(); feats.count()  # warm FS cache + JVM\n"
         "t0 = time.time()\n"
-        "scored = scoring.score_pairs(scoring.pair_features(pairs, feats))\n"
+        "scored = scoring.score_candidates(pairs, feats)\n"
         "# aggregate over every score column so Catalyst cannot prune any\n"
         "# of the similarity UDFs out of the probe\n"
         "row = scored.selectExpr('count(*) n', 'sum(fuzz_key) a', 'sum(jw) b', "

@@ -294,3 +294,22 @@ def token_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [token_set_jaccard(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
     )
+
+
+def hash_jaccard_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard over pre-hashed, sorted, distinct int64 token sets.
+    Sorted-merge intersection via np.intersect1d(assume_unique) — the
+    phase-2 verify kernel of the scoring cascade."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a, b)):
+        nx = 0 if x is None else len(x)
+        ny = 0 if y is None else len(y)
+        if nx == 0 and ny == 0:
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(x, y, assume_unique=True).size if nx and ny else 0
+        out[i] = inter / (nx + ny - inter)
+    return pd.Series(out, index=a.index)
+
+
+hash_jaccard_udf = F.pandas_udf(hash_jaccard_series, DoubleType())

@@ -134,6 +134,17 @@ def with_derived_columns(files: DataFrame) -> DataFrame:
         .withColumn("size_chars", F.length("content"))
         .withColumn("n_lines", F.size(F.split(F.col("content"), "\n")))
         .withColumn("tokens", tokens_col(F.col("content")))
+        # sorted distinct 64-bit token hashes: the compact token-set
+        # representation the scoring cascade compares (set ops on int64
+        # arrays are ~35x cheaper than on string arrays, and fixed-width)
+        .withColumn(
+            "token_hashes",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(tokens_col(F.col("content")), lambda x: F.xxhash64(x))
+                )
+            ),
+        )
         .withColumn("quality", quality_score_col(F.col("lang")))
         .withColumn(
             "search_text",

@@ -115,7 +115,7 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
     else:
         candidate_pairs = candidate_pairs.persist()
 
-    scored = scoring.score_pairs(scoring.pair_features(candidate_pairs, features), cfg.scoring)
+    scored = scoring.score_candidates(candidate_pairs, features, cfg.scoring)
     if cfg.checkpoint_dir:
         _checkpoint(scored, f"{cfg.checkpoint_dir}/stage2_scored")
         scored = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage2_scored")
