@@ -134,27 +134,32 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
     return n
 
 
-def _subprocess_scoring(cpus: str, work_dir: str) -> dict:
+def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4) -> dict:
     """Score the materialized pair set at local[cpus] in a fresh process
-    (one SparkContext per JVM); returns wall seconds + pair count."""
+    (one SparkContext per JVM). Runs the job ``runs`` times and reports
+    the median of the steady-state (non-first) runs — this VM's wall
+    times vary +-30% and the first run pays python-worker spawn + JIT."""
     code = (
-        "import json,sys,time; sys.path.insert(0, %r)\n"
+        "import json,sys,time,statistics; sys.path.insert(0, %r)\n"
         "from music_dedupe_spark.session import get_spark\n"
         "from music_dedupe_spark.operators import scoring\n"
         "spark = get_spark('bench-scaling', cpus=%r)\n"
         "feats = spark.read.parquet(%r + '/features')\n"
         "pairs = spark.read.parquet(%r + '/pairs')\n"
         "pairs.count(); feats.count()  # warm FS cache + JVM\n"
-        "t0 = time.time()\n"
-        "scored = scoring.score_candidates(pairs, feats)\n"
-        "# aggregate over every score column so Catalyst cannot prune any\n"
-        "# of the similarity UDFs out of the probe\n"
-        "row = scored.selectExpr('count(*) n', 'sum(fuzz_key) a', 'sum(jw) b', "
+        "secs, n = [], 0\n"
+        "for _ in range(%d):\n"
+        "    t0 = time.time()\n"
+        "    scored = scoring.score_candidates(pairs, feats)\n"
+        "    # aggregate over every score column so Catalyst cannot prune\n"
+        "    # any of the similarity kernels out of the probe\n"
+        "    row = scored.selectExpr('count(*) n', 'sum(fuzz_key) a', 'sum(jw) b', "
         "'sum(norm_lev) c', 'sum(jaccard) d', 'sum(cast(is_dup as int)) e').collect()[0]\n"
-        "n = row['n']\n"
-        "sec = time.time() - t0\n"
-        "print('BENCH_RESULT ' + json.dumps({'sec': sec, 'pairs': n}))\n"
-    ) % (REPO, cpus, work_dir, work_dir)
+        "    n = row['n']\n"
+        "    secs.append(time.time() - t0)\n"
+        "print('BENCH_RESULT ' + json.dumps("
+        "{'sec': statistics.median(secs[1:]), 'first_sec': secs[0], 'all': secs, 'pairs': n}))\n"
+    ) % (REPO, cpus, work_dir, work_dir, runs)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
     )
@@ -162,6 +167,44 @@ def _subprocess_scoring(cpus: str, work_dir: str) -> dict:
         if line.startswith("BENCH_RESULT "):
             return json.loads(line[len("BENCH_RESULT "):])
     raise RuntimeError(f"scaling subprocess failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def _hardware_ceiling() -> dict:
+    """This sandbox substitutes local[8]/local[32] on ONE machine for the
+    8-vs-32-executor criterion — but a single box shares one memory
+    system, so even PURE multiprocess numpy cannot scale 4x. Measure
+    that ceiling with the scoring kernel itself (no Spark): it is the
+    denominator for the normalized efficiency."""
+    import multiprocessing as mp
+
+    def agg(n):
+        with mp.Pool(n) as p:
+            return sum(p.map(_kernel_rate, range(n)))
+
+    r8, r32 = agg(8), agg(32)
+    return {
+        "kernel_pairs_per_sec_8proc": round(r8),
+        "kernel_pairs_per_sec_32proc": round(r32),
+        "hw_scaling_ratio": round(r32 / r8, 3),
+    }
+
+
+def _kernel_rate(seed: int) -> float:
+    import random
+    import time as _t
+
+    from music_dedupe_spark.functions.similarity import _batch_dp
+
+    rng = random.Random(seed)
+    A = [f"util_handler_{rng.randrange(9999)}_{rng.randrange(99)}" for _ in range(5000)]
+    B = [f"util_handler_{rng.randrange(9999)}_{rng.randrange(99)}" for _ in range(5000)]
+    t0 = _t.time()
+    total = 0
+    while _t.time() - t0 < 5:
+        _batch_dp(A, B, 2)
+        _batch_dp(A, B, 1)
+        total += 5000
+    return total / (_t.time() - t0)
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -172,16 +215,27 @@ def run_scaling(sf_dir: str) -> dict:
     lo, hi = "8", "32"
     r_lo = _subprocess_scoring(lo, work_dir)
     r_hi = _subprocess_scoring(hi, work_dir)
+    hw = _hardware_ceiling()
     tp_lo = r_lo["pairs"] / r_lo["sec"]
     tp_hi = r_hi["pairs"] / r_hi["sec"]
-    eff = (tp_hi / tp_lo) / (int(hi) / int(lo))
+    ratio = tp_hi / tp_lo
+    eff = ratio / (int(hi) / int(lo))
     return {
         "sf": sf_dir,
         "metric": "candidate_pairs_scored_per_sec",
         "n_pairs": n_pairs,
-        "local8": {"sec": round(r_lo["sec"], 2), "pairs_per_sec": round(tp_lo, 1)},
-        "local32": {"sec": round(r_hi["sec"], 2), "pairs_per_sec": round(tp_hi, 1)},
+        "local8": {"sec": round(r_lo["sec"], 2), "pairs_per_sec": round(tp_lo, 1), "runs": r_lo["all"]},
+        "local32": {"sec": round(r_hi["sec"], 2), "pairs_per_sec": round(tp_hi, 1), "runs": r_hi["all"]},
+        "scaling_ratio_8_to_32": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": hw,
+        "normalized_efficiency": round(ratio / hw["hw_scaling_ratio"], 3),
+        "note": (
+            "single-box substitution: local[8]->local[32] shares one memory "
+            "bus; hardware_ceiling is the same kernel under plain "
+            "multiprocessing — the max any job could scale here. On a real "
+            "N->4N executor cluster memory bandwidth scales with nodes."
+        ),
     }
 
 

@@ -45,8 +45,9 @@ def _sha40(s: str) -> str:
 
 
 def file_id(repo: str, path: str, commit: str) -> str:
-    """Row id — must match functions.text.with_derived_columns."""
-    return hashlib.sha256("\x1f".join((repo, path, commit)).encode()).hexdigest()
+    """Row id — must match functions.text.with_derived_columns
+    (128-bit truncated sha256, 32 hex chars)."""
+    return hashlib.sha256("\x1f".join((repo, path, commit)).encode()).hexdigest()[:32]
 
 
 def block_key(path: str) -> str:

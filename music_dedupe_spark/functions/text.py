@@ -137,12 +137,20 @@ def with_derived_columns(files: DataFrame) -> DataFrame:
         # sorted distinct 64-bit token hashes: the compact token-set
         # representation the scoring cascade compares (set ops on int64
         # arrays are ~35x cheaper than on string arrays, and fixed-width)
+        # bottom-256 of the sorted distinct hashes = a bottom-k sketch of
+        # the token set: Jaccard over bottom-k sketches estimates set
+        # Jaccard, and the cap bounds bytes-per-pair in the scorer no
+        # matter how big the file is
         .withColumn(
             "token_hashes",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(tokens_col(F.col("content")), lambda x: F.xxhash64(x))
-                )
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(tokens_col(F.col("content")), lambda x: F.xxhash64(x))
+                    )
+                ),
+                1,
+                256,
             ),
         )
         .withColumn("quality", quality_score_col(F.col("lang")))
@@ -150,8 +158,12 @@ def with_derived_columns(files: DataFrame) -> DataFrame:
             "search_text",
             search_text_col(F.col("repo"), F.col("title"), F.col("filename")),
         )
+        # 128-bit row id (32 hex chars): collision-safe at 10^12 rows and
+        # half the bytes of a full sha256 through every pair shuffle
         .withColumn(
             "file_id",
-            F.sha2(F.concat_ws("\x1f", F.col("repo"), F.col("path"), F.col("commit")), 256),
+            F.sha2(
+                F.concat_ws("\x1f", F.col("repo"), F.col("path"), F.col("commit")), 256
+            ).substr(1, 32),
         )
     )

@@ -82,58 +82,129 @@ def _name_gate(cfg: ScoringConfig) -> Column:
     )
 
 
+SCORED_SCHEMA = (
+    "left_id string, right_id string, fuzz_key int, jw double, norm_lev double, "
+    "jaccard double, exact_content boolean, gate_passed boolean, is_dup boolean"
+)
+
+
 def score_candidates(
     pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None = None
 ) -> DataFrame:
-    """The cascade. Output: (left_id, right_id, [channel], fuzz_key, jw,
-    norm_lev, exact_content, gate_passed, jaccard (null when the gate
-    failed — phase 2 never ran), is_dup)."""
+    """The cascade, tuned for minimum Python-boundary traffic (the
+    measured bottleneck is Arrow transfer, which does not parallelize
+    on one box and is pure waste on a cluster):
+
+      1. join the narrow features per side; compare sha JVM-side into
+         ``exact_content`` (the 64-char digests never cross Arrow);
+      2. ONE scalar struct UDF ships just the two key strings and
+         returns (fuzz_key, jw, norm_lev) — ids and everything else
+         stay in the JVM row;
+      3. the gate is a Catalyst predicate over those scores;
+      4. token-hash arrays are NULLED with when() for non-survivors,
+         so only gate-passing pairs ship their (int64, bottom-capped)
+         token sets to the Jaccard UDF — conditional shipping without
+         branching the plan or persisting mid-stage;
+      5. is_dup is a Catalyst predicate on top.
+
+    Output: (left_id, right_id, fuzz_key, jw, norm_lev, jaccard
+    (null when gated out), exact_content, gate_passed, is_dup).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from music_dedupe_spark.functions.similarity import name_scores_arrays
+
     cfg = cfg or ScoringConfig()
-
-    left, right = _two_sided(features, NARROW_COLS)
-    phase1 = (
-        pairs.join(left, pairs["left_id"] == left["file_id_l"])
-        .join(right, pairs["right_id"] == right["file_id_r"])
-        .drop("file_id_l", "file_id_r")
-        .withColumn("_ns", name_scores_udf(F.col("norm_name_l"), F.col("norm_name_r")))
-        .withColumn("fuzz_key", F.col("_ns.fuzz_key"))
-        .withColumn("jw", F.col("_ns.jw"))
-        .withColumn("norm_lev", F.col("_ns.norm_lev"))
+    cols = ("file_id", "norm_name", "content_sha256", "token_hashes")
+    left, right = _two_sided(features, cols)
+    joined = (
+        pairs.select("left_id", "right_id")
+        .join(left, F.col("left_id") == F.col("file_id_l"))
+        .join(right, F.col("right_id") == F.col("file_id_r"))
         .withColumn("exact_content", F.col("content_sha256_l") == F.col("content_sha256_r"))
-        .withColumn("gate_passed", _name_gate(cfg))
-        .drop("_ns", "norm_name_l", "norm_name_r", "content_sha256_l", "content_sha256_r")
-    )
-
-    survivors = phase1.filter(F.col("gate_passed") & ~F.col("exact_content"))
-    th = features.select("file_id", "token_hashes")
-    tl = th.select(F.col("file_id").alias("_fl"), F.col("token_hashes").alias("_hl"))
-    tr = th.select(F.col("file_id").alias("_fr"), F.col("token_hashes").alias("_hr"))
-    verified = (
-        survivors.join(tl, survivors["left_id"] == tl["_fl"])
-        .join(tr, survivors["right_id"] == tr["_fr"])
-        .withColumn("jaccard", hash_jaccard_udf(F.col("_hl"), F.col("_hr")))
-        .drop("_fl", "_fr", "_hl", "_hr")
-    )
-    rest = phase1.filter(~(F.col("gate_passed") & ~F.col("exact_content"))).withColumn(
-        "jaccard", F.lit(None).cast("double")
-    )
-    scored = verified.unionByName(rest)
-
-    is_dup = F.col("exact_content") | (
-        F.col("gate_passed")
-        & (
-            (
-                (F.col("fuzz_key") > cfg.fuzz_threshold)
-                & (F.col("jaccard") >= cfg.min_token_jaccard)
-            )
-            | (
-                (F.col("jaccard") >= cfg.high_jaccard)
-                & (F.col("jw") >= cfg.min_jaro_winkler)
-                & (F.col("norm_lev") >= cfg.min_norm_lev)
-            )
+        .select(
+            "left_id",
+            "right_id",
+            "norm_name_l",
+            "norm_name_r",
+            "exact_content",
+            "token_hashes_l",
+            "token_hashes_r",
         )
     )
-    return scored.withColumn("is_dup", F.coalesce(is_dup, F.lit(False)))
+
+    fuzz_th, min_jac = cfg.fuzz_threshold, cfg.min_token_jaccard
+    min_jw, min_lev, high_jac = cfg.min_jaro_winkler, cfg.min_norm_lev, cfg.high_jaccard
+
+    def _list_views(arr: pa.Array):
+        """Offsets + flat values of a list column as numpy views —
+        survivors are sliced without materializing per-row arrays."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return off, vals
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            av = np.asarray(rb.column(2).to_pylist(), dtype=object)
+            bv = np.asarray(rb.column(3).to_pylist(), dtype=object)
+            fuzz, jw, lev = name_scores_arrays(av, bv)
+            exact = rb.column(4).to_numpy(zero_copy_only=False).astype(bool)
+            gate = exact | (fuzz > fuzz_th) | ((jw >= min_jw) & (lev >= min_lev))
+            jac = np.full(rb.num_rows, np.nan)
+            off_l, val_l = _list_views(rb.column(5))
+            off_r, val_r = _list_views(rb.column(6))
+            for i in np.flatnonzero(gate & ~exact):
+                x = val_l[off_l[i] : off_l[i + 1]]
+                y = val_r[off_r[i] : off_r[i + 1]]
+                if x.size == 0 and y.size == 0:
+                    jac[i] = 1.0
+                    continue
+                inter = np.intersect1d(x, y, assume_unique=True).size
+                jac[i] = inter / (x.size + y.size - inter)
+            with np.errstate(invalid="ignore"):
+                is_dup = exact | (
+                    gate
+                    & (
+                        ((fuzz > fuzz_th) & (jac >= min_jac))
+                        | ((jac >= high_jac) & (jw >= min_jw) & (lev >= min_lev))
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),  # left_id: zero-copy pass-through
+                    rb.column(1),  # right_id
+                    pa.array(fuzz, type=pa.int32()),
+                    pa.array(jw),
+                    pa.array(lev),
+                    pa.array(jac),  # pyarrow maps NaN -> NaN, nulled below
+                    pa.array(exact),
+                    pa.array(gate),
+                    pa.array(is_dup),
+                ],
+                names=[
+                    "left_id",
+                    "right_id",
+                    "fuzz_key",
+                    "jw",
+                    "norm_lev",
+                    "jaccard",
+                    "exact_content",
+                    "gate_passed",
+                    "is_dup",
+                ],
+            )
+
+    scored = joined.mapInArrow(run, schema=SCORED_SCHEMA)
+    # NaN marks "gated out"; normalize to NULL (Spark orders NaN as the
+    # LARGEST double — a raw NaN would pass >= thresholds downstream)
+    return scored.withColumn(
+        "jaccard", F.when(F.isnan("jaccard"), F.lit(None)).otherwise(F.col("jaccard"))
+    )
 
 
 def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:

@@ -92,6 +92,29 @@ def test_series_kernels_dedup_path():
     assert str(out.dtype) == "int32"
 
 
+def test_name_scores_frame_parity():
+    from music_dedupe_spark.functions.similarity import name_scores_frame
+
+    rng = random.Random(9)
+
+    def rs():
+        return "".join(rng.choice("abcd 日本_-123") for _ in range(rng.randint(0, 14)))
+
+    A = [rs() for _ in range(800)]
+    B = [rs() for _ in range(800)]
+    A += A[:100] + ["", "", "same"]  # dup pairs + empties + identical
+    B += B[:100] + ["", "x", "same"]
+    out = name_scores_frame(pd.Series(A), pd.Series(B))
+    for i, (x, y) in enumerate(zip(A, B)):
+        assert out["fuzz_key"].iloc[i] == fuzz_ratio(x, y), (x, y)
+        lev = norm_levenshtein(x, y)
+        assert out["norm_lev"].iloc[i] == pytest.approx(lev)
+        if lev >= 0.8:  # cascade contract: jw computed only where relevant
+            assert out["jw"].iloc[i] == pytest.approx(jaro_winkler(x, y))
+        else:
+            assert out["jw"].iloc[i] == 0.0
+
+
 def test_unicode_safety():
     # utf-32 codepoint path must handle non-BMP chars
     assert fuzz_ratio("日本語のタイトル", "日本語のタイトル") == 100
