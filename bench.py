@@ -101,7 +101,10 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     }
 
 
-SCALING_WINDOW = 2000  # neighborhood width -> ~10M candidate pairs at sf0.1
+SCALING_WINDOW = 8000  # neighborhood width -> ~32M candidate pairs at sf0.1
+# (large enough that per-job fixed costs amortize: at the 10M-pair size
+# local[8] already ran within 8% of the raw kernel rate, so the N->4N
+# ratio was capped by the ~4s fixed floor, not by the job)
 
 
 def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
@@ -143,7 +146,9 @@ def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4) -> dict:
         "import json,sys,time,statistics; sys.path.insert(0, %r)\n"
         "from music_dedupe_spark.session import get_spark\n"
         "from music_dedupe_spark.operators import scoring\n"
-        "spark = get_spark('bench-scaling', cpus=%r)\n"
+        "spark = get_spark('bench-scaling', cpus=%r, extra_conf={\n"
+        "    'spark.python.worker.reuse': 'false',  # avoids a rare stuck-worker hang\n"
+        "    'spark.python.worker.faulthandler.enabled': 'true'})\n"
         "feats = spark.read.parquet(%r + '/features')\n"
         "pairs = spark.read.parquet(%r + '/pairs')\n"
         "pairs.count(); feats.count()  # warm FS cache + JVM\n"
@@ -160,13 +165,20 @@ def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4) -> dict:
         "print('BENCH_RESULT ' + json.dumps("
         "{'sec': statistics.median(secs[1:]), 'first_sec': secs[0], 'all': secs, 'pairs': n}))\n"
     ) % (REPO, cpus, work_dir, work_dir, runs)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCH_RESULT "):
-            return json.loads(line[len("BENCH_RESULT "):])
-    raise RuntimeError(f"scaling subprocess failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+    last_err = ""
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+            )
+        except subprocess.TimeoutExpired:
+            last_err = "timeout after 900s"
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                return json.loads(line[len("BENCH_RESULT "):])
+        last_err = f"{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+    raise RuntimeError(f"scaling subprocess failed twice:\n{last_err}")
 
 
 def _hardware_ceiling() -> dict:
