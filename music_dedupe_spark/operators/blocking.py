@@ -58,11 +58,15 @@ def exact_key_pairs(
     The salt is ``pmod(xxhash64(file_id), n_sub)`` — deterministic,
     uniform, independent of row order.
     """
+    from pyspark.sql import Window
+
     keyed = df.select(F.col(key_col).alias("_bk"), "file_id").filter(
         F.col(key_col).isNotNull() & (F.col(key_col) != "")
     )
-    sizes = keyed.groupBy("_bk").agg(F.count("*").alias("_bs"))
-    keyed = keyed.join(sizes.filter(F.col("_bs") > 1), "_bk")
+    # block size via window (one shuffle) instead of groupBy+join (two)
+    keyed = keyed.withColumn("_bs", F.count("*").over(Window.partitionBy("_bk"))).filter(
+        F.col("_bs") > 1
+    )
 
     small = keyed.filter(F.col("_bs") <= cap)
     small_pairs = _pairs_within(small, ["_bk"], channel)
@@ -146,15 +150,39 @@ def minhash_signatures(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf[content_col]:
-                sh = _shingle_hashes(text or "", shingle_k)
+            # vectorize ACROSS documents: concatenate every doc's shingle
+            # hashes and take segmented minima with minimum.reduceat —
+            # one numpy dispatch per ~30k-shingle chunk instead of one
+            # (num_perm x n_shingles) matmul per document.
+            shingle_sets = [_shingle_hashes(t or "", shingle_k) for t in pdf[content_col]]
+            sigs: list[list[int] | None] = [None] * len(shingle_sets)
+            chunk_docs: list[int] = []
+            chunk_size = 0
+
+            def flush():
+                nonlocal chunk_docs, chunk_size
+                if not chunk_docs:
+                    return
+                parts = [shingle_sets[i] for i in chunk_docs]
+                offsets = np.zeros(len(parts), dtype=np.int64)
+                np.cumsum([len(p) for p in parts[:-1]], out=offsets[1:])
+                flat = np.concatenate(parts)
+                # (num_perm, total) universal hash; segmented min per doc
+                vals = (a[:, None] * flat[None, :] + b[:, None]) % MERSENNE_PRIME
+                mins = np.minimum.reduceat(vals, offsets, axis=1)
+                for k, i in enumerate(chunk_docs):
+                    sigs[i] = mins[:, k].astype(np.int64).tolist()
+                chunk_docs, chunk_size = [], 0
+
+            for i, sh in enumerate(shingle_sets):
                 if len(sh) == 0:
-                    sigs.append(np.zeros(num_perm, dtype=np.int64).tolist())
+                    sigs[i] = [0] * num_perm
                     continue
-                # (num_perm, n_shingles) universal hash, min over shingles
-                vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE_PRIME
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+                chunk_docs.append(i)
+                chunk_size += len(sh)
+                if chunk_size >= 30_000:
+                    flush()
+            flush()
             yield pd.DataFrame({"file_id": pdf["file_id"], "sig": sigs})
 
     return df.select("file_id", content_col).mapInPandas(
@@ -193,8 +221,11 @@ def minhash_lsh_pairs(
         "file_id",
         F.concat_ws("_", F.col("band_idx"), F.hash(F.col("band_sig"))).alias("_bk"),
     )
-    sizes = banded.groupBy("_bk").agg(F.count("*").alias("_bs"))
-    banded = banded.join(sizes.filter(F.col("_bs") > 1), "_bk")
+    from pyspark.sql import Window
+
+    banded = banded.withColumn("_bs", F.count("*").over(Window.partitionBy("_bk"))).filter(
+        F.col("_bs") > 1
+    )
 
     small_pairs = _pairs_within(banded.filter(F.col("_bs") <= band_cap), ["_bk"], channel)
     big = banded.filter(F.col("_bs") > band_cap)

@@ -71,10 +71,12 @@ def dedup_ngram_jaccard(spark, sf):
     block bounds the candidate space like norm_name does in the ER
     pipeline."""
     d = _t(spark, sf, "documents")
+    # join key = one 64-bit hash of (block key, shingle): a single long
+    # shuffles/compares ~10x cheaper than (lang, source, 3-char string);
+    # collisions are ~n^2/2^64 — irrelevant to the counts (and the DuckDB
+    # parity test would catch one).
     shingles = d.select(
         "doc_id",
-        "lang",
-        "source",
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -83,16 +85,14 @@ def dedup_ngram_jaccard(spark, sf):
                 )
             )
         ).alias("sh"),
-    )
+        F.col("lang"),
+        F.col("source"),
+    ).select("doc_id", F.xxhash64("lang", "source", "sh").alias("shk"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.select(
-        F.col("doc_id").alias("left_doc"), "lang", "source", "sh"
-    )
-    b = shingles.select(
-        F.col("doc_id").alias("right_doc"), "lang", "source", "sh"
-    )
+    a = shingles.select(F.col("doc_id").alias("left_doc"), "shk")
+    b = shingles.select(F.col("doc_id").alias("right_doc"), "shk")
     inter = (
-        a.join(b, ["lang", "source", "sh"])
+        a.join(b, "shk")
         .filter(F.col("left_doc") < F.col("right_doc"))
         .groupBy("left_doc", "right_doc")
         .agg(F.count("*").alias("inter"))

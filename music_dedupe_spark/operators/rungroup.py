@@ -179,8 +179,13 @@ def sorted_run_groups(
 def candidate_groups(run_groups: DataFrame) -> DataFrame:
     """Filter to groups of size > 1 (reference emits only those,
     core.py:700-705). Output: (file_id, norm_name, group_id)."""
-    w_cnt = run_groups.groupBy("group_id").agg(F.count("*").alias("_n"))
-    return run_groups.join(w_cnt, "group_id").filter(F.col("_n") > 1).drop("_n")
+    from pyspark.sql import Window
+
+    return (
+        run_groups.withColumn("_n", F.count("*").over(Window.partitionBy("group_id")))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
 
 
 def group_pairs(run_groups: DataFrame, max_group_size: int = 50) -> DataFrame:
