@@ -583,6 +583,92 @@ def f12_time_bucket(spark, sf):
     )
 
 
+@register(
+    "q5_revenue_by_nation",
+    """SELECT n.n_name,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                       (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+)
+def q5_revenue_by_nation(spark, sf):
+    """TPC-H Q5-shaped 5-way join: two broadcast dims (region, nation)
+    + three fact joins, Catalyst-reordered, region filter pruned first."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "agg_median_value",
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_v
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def agg_median_value(spark, sf):
+    """Exact interpolated median per group (Spark percentile ==
+    DuckDB quantile_cont definition)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_v"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "w_running_sum",
+    """SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_v
+       FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+)
+def w_running_sum(spark, sf):
+    """Cumulative window aggregate (running total per user)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_v"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "agg_distinct_users",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def agg_distinct_users(spark, sf):
+    """Distinct aggregate (expand-based count distinct per group)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops (SURVEY §2.7)
 # ---------------------------------------------------------------------------
