@@ -85,7 +85,12 @@ def ann_cosine_topk(spark, sf):
     )
 
 
-def srp_bucket_udf(n_planes: int = 12, seed: int = 5, n_tables: int = 4):
+def srp_bucket_udf(n_planes: int = 5, seed: int = 5, n_tables: int = 16):
+    # defaults tuned for weakly-clustered corpora (the driver embeddings'
+    # true top-5 cosines are only ~0.25-0.5, LSH's worst case): 5 planes
+    # x 16 tables scans ~10% of the corpus for ~0.7 recall. Strongly
+    # similar vectors (near-dup dedup at >=0.95 cosine) sit on the steep
+    # part of the s-curve and collide with high probability regardless.
     """Signed-random-projection bucket ids: ``n_tables`` independent
     hyperplane sets of ``n_planes`` bits each (multi-probe via table
     union). Vectorized: one matmul per Arrow batch."""
@@ -144,3 +149,104 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataF
 def ann_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the classic scale path — coarse k-means
+# centroids on a driver-side sample, cluster assignment distributed,
+# queries probe only the nprobe nearest cells.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10, seed: int = 3) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        # cosine k-means: normalize, assign by dot product
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_index(embeddings: DataFrame, n_cells: int = 16, sample_n: int = 2000, seed: int = 3):
+    """Train coarse centroids on a driver sample (tiny: n_cells x dim
+    floats broadcast), return (centroids, assigned DataFrame with a
+    ``cell`` column). The assignment runs distributed in Arrow batches —
+    one matmul per batch."""
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in embeddings.select("embedding").limit(sample_n).collect()
+        ]
+    )
+    centroids = _kmeans_centroids(sample, n_cells, seed=seed)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": (mat @ cn.T).argmax(axis=1).astype("int32")}
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell int"
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: queries probe their nprobe nearest cells; candidates
+    are the vectors in those cells (cell equi-join — the 100 TB path:
+    scan fraction ~ nprobe/n_cells); exact cosine re-rank on top."""
+    spark = embeddings.sparkSession
+    centroids, assigned = ivf_index(embeddings, n_cells=n_cells)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    qrows = queries.select("vec_id", "embedding").collect()  # queries are small
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        cells = np.argsort(-(cn @ v))[:nprobe]
+        probe_rows.extend((int(r["vec_id"]), int(c)) for c in cells)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    cands = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    e = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ev"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(e, "neighbor_id")
+        .withColumn("cos_sim_raw", _cosine(F.col("qv"), F.col("ev")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+@register("ann_ivf_topk", None)  # approximate: rows-only driver check
+def ann_ivf_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).orderBy("query_id", "rank")

@@ -584,6 +584,37 @@ def f12_time_bucket(spark, sf):
 
 
 @register(
+    "asof_last_purchase",
+    """SELECT event_id, user_id,
+              round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+              AS last_purchase_v
+       FROM events WHERE user_id < 50 ORDER BY user_id, event_id""",
+)
+def asof_last_purchase(spark, sf):
+    """As-of join (an operator Spark lacks natively): every event joined
+    to the most recent prior-or-current 'purchase' of the same user —
+    expressed as last_value(... ignore nulls) over an unbounded-preceding
+    window, fully native (the per-group pd.merge_asof fallback is never
+    needed when the 'right side' fits the same partition order)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_p = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "user_id", F.round(last_p, 4).alias("last_purchase_v"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "q5_revenue_by_nation",
     """SELECT n.n_name,
               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *

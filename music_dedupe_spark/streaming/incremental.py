@@ -78,6 +78,38 @@ def windowed_event_metrics(events: DataFrame, window: str = "5 minutes") -> Data
     )
 
 
+def streaming_dedupe(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> "pyspark.sql.streaming.StreamingQuery":
+    """Streaming exact-dedup: keep the first arrival per content sha
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    bounded state, the streaming analog of the exact-dedup channel).
+    Late duplicates beyond the watermark age out of state; at 100 TB/day
+    the state stays O(distinct shas per horizon), not O(history)."""
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    derived = ingest(stream).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    deduped = derived.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_sha256"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_event_metrics(
     spark: SparkSession, source_dir: str, queryName: str = "event_metrics"
 ) -> "pyspark.sql.streaming.StreamingQuery":

@@ -9,8 +9,30 @@ from pyspark.sql import functions as F
 from music_dedupe_spark.streaming.incremental import (
     incremental_ingest,
     stream_event_metrics,
+    streaming_dedupe,
     windowed_event_metrics,
 )
+
+
+def test_streaming_dedupe_within_watermark(spark, corpus, tmp_path):
+    src = str(tmp_path / "sd_src")
+    sink = str(tmp_path / "sd_sink")
+    ckpt = str(tmp_path / "sd_ckpt")
+    full = spark.createDataFrame(corpus.files)
+    full.write.mode("overwrite").parquet(src)
+
+    q = streaming_dedupe(spark, src, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(sink)
+    from music_dedupe_spark.pipeline import eligible_files
+
+    n_distinct = (
+        eligible_files(full).selectExpr("sha2(content, 256) h").distinct().count()
+    )
+    # exactly one survivor per distinct content
+    assert out.select("content_sha256").distinct().count() == n_distinct
+    assert out.count() == n_distinct
 
 
 def test_incremental_ingest_and_resume(spark, corpus, tmp_path):
