@@ -271,7 +271,10 @@ def name_scores_arrays(
     (a, b) pairs of the batch: factorize-based dedup, batched-DP kernels
     over the unique pairs. Inputs are object arrays of (non-null)
     strings; returns (fuzz int32, jw float64, norm_lev float64)."""
-    key = pd.Series(av, dtype=object) + "\x1f" + pd.Series(bv, dtype=object)
+    # tuple keys force pandas' PyObject hash table — the string-key path
+    # (a + sep + b) routes to a C-string table that TRUNCATES AT NUL
+    # bytes (found by hypothesis: '\x000' vs '0' collided)
+    key = pd.Series(list(zip(av, bv)), dtype=object)
     codes, _ = pd.factorize(key, sort=False)
     _, first_idx = np.unique(codes, return_index=True)
     ua = [av[i] for i in first_idx]
