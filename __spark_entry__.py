@@ -26,6 +26,17 @@ from music_dedupe_spark import queries as _q  # noqa: E402
 from music_dedupe_spark.operators import dedup as _dedup  # noqa: E402,F401  (registers)
 from music_dedupe_spark.operators import similarity_search as _ann  # noqa: E402,F401
 from music_dedupe_spark.operators import textops as _textops  # noqa: E402,F401
+from music_dedupe_spark.session import _ship_package  # noqa: E402
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver passes ITS OWN SparkSession: ship our package zip to
+    its python workers (idempotent addPyFile), else every pandas-UDF
+    query dies with ModuleNotFoundError on unpickling."""
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already added, or a session without a SparkContext
 
 
 def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +75,16 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>=0."""
+    _ensure_shipped(spark)
     return _flagship(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -72,8 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training-data-pipeline operators). Each callable takes
     (spark, sf_dir) and returns a DataFrame with oracle-aligned
     column names."""
-    qs = dict(_q.queries())
-    qs["er_pipeline_clusters"] = _flagship  # non-SQL-expressible: rows-only
+    qs = {name: _wrap(fn) for name, fn in _q.queries().items()}
+    qs["er_pipeline_clusters"] = _wrap(_flagship)  # non-SQL: rows-only
     return qs
 
 
