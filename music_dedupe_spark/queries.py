@@ -615,6 +615,32 @@ def asof_last_purchase(spark, sf):
 
 
 @register(
+    "q6_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6-shaped scan-heavy aggregate: every predicate pushed to
+    the parquet scan, no shuffle beyond the final 1-row reduce."""
+    l = _t(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(price * disc).cast("double").alias("revenue"), F.count("*").alias("n"))
+
+
+@register(
     "q5_revenue_by_nation",
     """SELECT n.n_name,
               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
