@@ -732,6 +732,23 @@ def agg_distinct_users(spark, sf):
 
 
 @register(
+    "setop_intersect",
+    """SELECT doc_id FROM documents WHERE lang = 'en'
+       INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 300
+       ORDER BY doc_id""",
+)
+def setop_intersect(spark, sf):
+    """INTERSECT set operation (SURVEY §2.7 completeness)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .intersect(d.filter(F.col("n_chars") >= 300).select("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "setop_except",
     """SELECT doc_id FROM documents WHERE lang = 'en'
        EXCEPT SELECT doc_id FROM documents WHERE n_chars < 100
