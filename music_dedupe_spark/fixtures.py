@@ -217,7 +217,10 @@ def generate_corpus(
     files = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     pairs = [
-        {"left_id": l, "right_id": r, "block_key": id_key[l] if id_key[l] == id_key[r] else id_key[l], "is_duplicate": True}
+        # cross-key positives (near-dups whose edited stems land in
+        # different blocks) carry no shared key: record None, not a
+        # misleading single-side key
+        {"left_id": l, "right_id": r, "block_key": id_key[l] if id_key[l] == id_key[r] else None, "is_duplicate": True}
         for l, r in positives
     ] + [
         {"left_id": l, "right_id": r, "block_key": k, "is_duplicate": False}

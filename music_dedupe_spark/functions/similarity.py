@@ -295,9 +295,12 @@ def name_scores_arrays(
     # JW is decision-relevant only alongside high norm_lev (the is_dup
     # rule requires BOTH jw >= 0.88 and norm_lev >= 0.86): compute the
     # (python-loop) Jaro-Winkler only where lev clears a safety margin
-    # below that threshold; elsewhere report 0.0 (cascade contract —
-    # see operators/scoring.py docstring).
-    jw_u = np.zeros(len(ua), dtype=np.float64)
+    # below that threshold; elsewhere report NaN — "gated out", the same
+    # convention as the jaccard column; the scorer nulls it before
+    # persisting so the stored jw is never a fake 0.0 (cascade contract —
+    # see operators/scoring.py docstring). NaN fails every >= threshold
+    # comparison, so the is_dup rule is unaffected.
+    jw_u = np.full(len(ua), np.nan, dtype=np.float64)
     for i in np.flatnonzero(lev_u >= 0.8):
         jw_u[i] = jaro_winkler(ua[i], ub[i])
 

@@ -34,6 +34,25 @@ from pyspark.sql import functions as F
 MERSENNE_PRIME = (1 << 61) - 1
 
 
+def _attach_block_size(keyed: DataFrame, key_col: str = "_bk") -> DataFrame:
+    """Attach per-key block size as ``_bs`` and drop singleton blocks.
+
+    groupBy + join, NOT a window: a window partition is one task and
+    cannot be split by AQE, so one 10^8-row hot key ("main", the empty
+    file) becomes a straggler holding every row of the block. The
+    groupBy absorbs the hot key map-side (partial aggregation), and the
+    join back is AQE-manageable — broadcast when the count side is small,
+    skew-split sort-merge when it isn't. Size filter happens on the
+    count side BEFORE the join, so singleton keys never shuffle twice.
+    """
+    counts = (
+        keyed.groupBy(key_col)
+        .agg(F.count("*").alias("_bs"))
+        .filter(F.col("_bs") > 1)
+    )
+    return keyed.join(counts, key_col)
+
+
 def _pairs_within(blocks: DataFrame, key_cols: list[str], channel: str) -> DataFrame:
     l = blocks.select(*key_cols, F.col("file_id").alias("left_id"))
     r = blocks.select(*key_cols, F.col("file_id").alias("right_id"))
@@ -58,15 +77,10 @@ def exact_key_pairs(
     The salt is ``pmod(xxhash64(file_id), n_sub)`` — deterministic,
     uniform, independent of row order.
     """
-    from pyspark.sql import Window
-
     keyed = df.select(F.col(key_col).alias("_bk"), "file_id").filter(
         F.col(key_col).isNotNull() & (F.col(key_col) != "")
     )
-    # block size via window (one shuffle) instead of groupBy+join (two)
-    keyed = keyed.withColumn("_bs", F.count("*").over(Window.partitionBy("_bk"))).filter(
-        F.col("_bs") > 1
-    )
+    keyed = _attach_block_size(keyed)
 
     small = keyed.filter(F.col("_bs") <= cap)
     small_pairs = _pairs_within(small, ["_bk"], channel)
@@ -221,11 +235,7 @@ def minhash_lsh_pairs(
         "file_id",
         F.concat_ws("_", F.col("band_idx"), F.hash(F.col("band_sig"))).alias("_bk"),
     )
-    from pyspark.sql import Window
-
-    banded = banded.withColumn("_bs", F.count("*").over(Window.partitionBy("_bk"))).filter(
-        F.col("_bs") > 1
-    )
+    banded = _attach_block_size(banded)
 
     small_pairs = _pairs_within(banded.filter(F.col("_bs") <= band_cap), ["_bk"], channel)
     big = banded.filter(F.col("_bs") > band_cap)
@@ -241,10 +251,36 @@ def minhash_lsh_pairs(
     return small_pairs.unionByName(big_star).dropDuplicates(["left_id", "right_id"])
 
 
+#: Explicit channel precedence for union_channels: when the same pair is
+#: proposed by several channels, the lowest-priority-number tag wins.
+#: Unknown channels rank last (priority 99) instead of silently jumping
+#: the queue by accident of their name's sort order.
+CHANNEL_PRIORITY = {
+    "exact_content": 0,
+    "exact_key": 1,
+    "sorted_neighborhood": 2,
+    "minhash_lsh": 3,
+}
+
+
 def union_channels(*channels: DataFrame) -> DataFrame:
-    """unionByName + dropDuplicates on the pair key (SURVEY §2.7); keeps
-    the first channel tag per pair (exact > lsh precedence by order)."""
+    """unionByName + dedup on the pair key (SURVEY §2.7); keeps the
+    highest-precedence channel tag per pair via the explicit
+    CHANNEL_PRIORITY map (exact > neighborhood > lsh), not string order."""
     out = channels[0]
     for c in channels[1:]:
         out = out.unionByName(c)
-    return out.groupBy("left_id", "right_id").agg(F.min("channel").alias("channel"))
+    prio = F.coalesce(
+        *[
+            F.when(F.col("channel") == name, F.lit(p))
+            for name, p in CHANNEL_PRIORITY.items()
+        ],
+        F.lit(99),
+    )
+    # min over (priority, channel) struct: one shuffle, deterministic
+    # tie-break on name for channels sharing a priority bucket.
+    return (
+        out.groupBy("left_id", "right_id")
+        .agg(F.min(F.struct(prio.alias("_p"), F.col("channel"))).alias("_pc"))
+        .select("left_id", "right_id", F.col("_pc.channel").alias("channel"))
+    )

@@ -101,6 +101,7 @@ def connected_components(
             start_iter = it + 1
 
     prev_sum: tuple[int, int] | None = None
+    converged = False
     for it in range(start_iter, max_iterations):
         t0 = time.time()
         # cur is checkpointed, so although each star phase references its
@@ -126,9 +127,24 @@ def connected_components(
             )
         if checksum == prev_sum:
             cur = ss
+            converged = True
             break
         prev_sum = checksum
         cur = ss
+
+    if not converged and start_iter < max_iterations:
+        # exhaustion is NOT convergence: non-star edges would yield wrong
+        # entity labels silently. Record it and fail loudly — the caller
+        # can resume from the checkpoint with a higher budget.
+        if checkpoint_dir:
+            _write_metrics(checkpoint_dir, {"converged": False, "iterations": max_iterations})
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (checksum fixpoint not reached); resume from "
+            "checkpoint_dir with a larger max_iterations"
+        )
+    if checkpoint_dir and converged:
+        _write_metrics(checkpoint_dir, {"converged": True, "iterations": it + 1})
 
     # after convergence edges form stars; canonical (u, v) has u < v, so
     # u is the component-minimum root and v the member.

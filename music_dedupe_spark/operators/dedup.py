@@ -40,54 +40,64 @@ def dedup_exact(spark, sf):
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    """WITH shingles AS (
-         SELECT DISTINCT d.doc_id, d.lang, d.source,
-                substring(d.text, g.i, 3) AS sh
-         FROM documents d,
-              LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS i) g
-       ),
-       pair_inter AS (
-         SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS inter
-         FROM shingles a JOIN shingles b
-           ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
-          AND a.doc_id < b.doc_id
-         GROUP BY a.doc_id, b.doc_id
-       ),
-       sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
-       SELECT p.left_doc, p.right_doc,
-              round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
-       FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.left_doc
-                         JOIN sizes sb ON sb.doc_id = p.right_doc
-       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
-       ORDER BY left_doc, right_doc""",
-)
-def dedup_ngram_jaccard(spark, sf):
-    """Character-3-gram Jaccard near-dup detection, blocked by
-    (lang, source) — set intersection via a shingle equi-join, entirely
-    JVM-side (explode + join + agg; zero Python). At scale the shingle
-    join is the textbook document-similarity join; the (lang, source)
-    block bounds the candidate space like norm_name does in the ER
-    pipeline."""
-    d = _t(spark, sf, "documents")
+#: Default document-frequency cap for the shingle self-join: a shingle
+#: present in more than this many documents of a (lang, source) block is
+#: dropped before pairing. Without the cut, stop-shingles (" th", "ing")
+#: appear in nearly every doc of a block and the equi-join is O(n²) per
+#: block per hot shingle — the standard DF-cut / prefix-filter for set
+#: similarity joins bounds each shingle's contribution to cap² pairs.
+NGRAM_DF_CAP = 100
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.4,
+    df_cap: int | None = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Character-k-gram Jaccard near-dup pairs, blocked by (lang, source)
+    — set intersection via a shingle equi-join, entirely JVM-side
+    (explode + join + agg; zero Python).
+
+    ``df_cap`` is the scale guard: per-block document frequency is
+    computed per shingle (one map-side-combining groupBy), shingles
+    hotter than the cap are anti-joined away (broadcast — the hot list
+    is tiny by construction), and Jaccard is computed over the filtered
+    shingle universe on BOTH numerator and denominator, so it remains a
+    true Jaccard of the kept sets. Pass ``df_cap=None`` to disable
+    (test/small-data only).
+
+    Input: DataFrame with (doc_id, text, lang, source).
+    Output: (left_doc, right_doc, jaccard) with jaccard >= threshold.
+    """
     # join key = one 64-bit hash of (block key, shingle): a single long
-    # shuffles/compares ~10x cheaper than (lang, source, 3-char string);
+    # shuffles/compares ~10x cheaper than (lang, source, k-char string);
     # collisions are ~n^2/2^64 — irrelevant to the counts (and the DuckDB
     # parity test would catch one).
-    shingles = d.select(
+    shingles = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
-                    lambda i: F.col("text").substr(i, F.lit(3)),
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))),
+                    lambda i: F.col("text").substr(i, F.lit(k)),
                 )
             )
         ).alias("sh"),
         F.col("lang"),
         F.col("source"),
     ).select("doc_id", F.xxhash64("lang", "source", "sh").alias("shk"))
+    if df_cap is not None:
+        # shingles are distinct per doc (array_distinct), so count(*) per
+        # shk == per-block document frequency. groupBy (not a window):
+        # partial aggregation absorbs the hot key map-side, no straggler.
+        hot = (
+            shingles.groupBy("shk")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shk")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shk", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("left_doc"), "shk")
     b = shingles.select(F.col("doc_id").alias("right_doc"), "shk")
@@ -103,10 +113,49 @@ def dedup_ngram_jaccard(spark, sf):
     return (
         inter.join(sa, "left_doc")
         .join(sb, "right_doc")
-        .filter(jac >= 0.4)
+        .filter(jac >= threshold)
         .select("left_doc", "right_doc", F.round(jac, 4).alias("jaccard"))
-        .orderBy("left_doc", "right_doc")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH shingles AS (
+         SELECT DISTINCT d.doc_id, d.lang, d.source,
+                substring(d.text, g.i, 3) AS sh
+         FROM documents d,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS i) g
+       ),
+       kept AS (
+         SELECT s.* FROM shingles s
+         JOIN (SELECT lang, source, sh FROM shingles
+               GROUP BY lang, source, sh
+               HAVING count(*) <= {NGRAM_DF_CAP}) ok
+           ON s.lang = ok.lang AND s.source = ok.source AND s.sh = ok.sh
+       ),
+       pair_inter AS (
+         SELECT a.doc_id AS left_doc, b.doc_id AS right_doc, count(*) AS inter
+         FROM kept a JOIN kept b
+           ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       ),
+       sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+       SELECT p.left_doc, p.right_doc,
+              round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+       FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.left_doc
+                         JOIN sizes sb ON sb.doc_id = p.right_doc
+       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+       ORDER BY left_doc, right_doc""",
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Character-3-gram Jaccard near-dup detection with a document-
+    frequency cut (see ngram_jaccard_pairs) — the oracle SQL applies the
+    identical cut, so parity holds even when the cap bites. At scale the
+    shingle join is the textbook document-similarity join; the
+    (lang, source) block plus the DF cut bound the candidate space."""
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d).orderBy("left_doc", "right_doc")
 
 
 @register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check

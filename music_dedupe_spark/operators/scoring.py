@@ -200,11 +200,12 @@ def score_candidates(
             )
 
     scored = joined.mapInArrow(run, schema=SCORED_SCHEMA)
-    # NaN marks "gated out"; normalize to NULL (Spark orders NaN as the
-    # LARGEST double — a raw NaN would pass >= thresholds downstream)
+    # NaN marks "gated out" (jaccard: gate not passed; jw: cascade skipped
+    # it because norm_lev < 0.8); normalize to NULL (Spark orders NaN as
+    # the LARGEST double — a raw NaN would pass >= thresholds downstream)
     return scored.withColumn(
         "jaccard", F.when(F.isnan("jaccard"), F.lit(None)).otherwise(F.col("jaccard"))
-    )
+    ).withColumn("jw", F.when(F.isnan("jw"), F.lit(None)).otherwise(F.col("jw")))
 
 
 def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:

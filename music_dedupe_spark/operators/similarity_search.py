@@ -177,11 +177,21 @@ def ivf_index(embeddings: DataFrame, n_cells: int = 16, sample_n: int = 2000, se
     """Train coarse centroids on a driver sample (tiny: n_cells x dim
     floats broadcast), return (centroids, assigned DataFrame with a
     ``cell`` column). The assignment runs distributed in Arrow batches —
-    one matmul per batch."""
+    one matmul per batch.
+
+    The training sample is UNIFORM over the corpus: rand(seed)-ordered
+    top-n (Spark compiles orderBy+limit to TakeOrderedAndProject — a
+    per-partition top-n + driver merge, no full sort shuffle). A plain
+    ``limit(n)`` would take the head of the first partitions and train
+    centroids on one shard's distribution, collapsing recall on sorted
+    corpora."""
     sample = np.array(
         [
             np.asarray(r["embedding"], dtype=np.float64)
-            for r in embeddings.select("embedding").limit(sample_n).collect()
+            for r in embeddings.select("embedding")
+            .orderBy(F.rand(seed))
+            .limit(sample_n)
+            .collect()
         ]
     )
     centroids = _kmeans_centroids(sample, n_cells, seed=seed)

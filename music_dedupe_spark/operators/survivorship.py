@@ -65,24 +65,50 @@ def clean_junk_plan(files: DataFrame, supported_langs: tuple[str, ...] = ("py", 
     )
 
 
+#: fields substituted verbatim (structural, not tag text — never cleaned)
+_RAW_TEMPLATE_FIELDS = frozenset({"ext", "filename", "stem"})
+
+
 def rename_plan(files: DataFrame, pattern: str = "{title}.{ext}") -> DataFrame:
     """batch_rename_files (core.py:1047-1114): compute the new filename
     from a pattern with cleaned tags, then number collisions ' (n)'
     (core.py:1092-1095) with a window (W3). Returns (file_id, path,
-    new_path); no filesystem mutation."""
-    # parse the pattern on the driver into concat segments (template
-    # substitution F8, core.py:1073 — no regex injection from tag values)
+    new_path); no filesystem mutation.
+
+    Template substitution (F8) is general, like the reference's
+    ``pattern.format(**meta)`` (core.py:1073): any ``{field}`` naming a
+    column of ``files`` substitutes that column — tag-like fields are
+    cleaned (clean_tag_col) with an 'unknown' fallback mirroring the
+    reference's safe_meta defaults (core.py:1064-1069); structural
+    fields (ext/filename/stem) pass through raw. An unknown field raises
+    ValueError at plan-build time, the analog of the reference's KeyError
+    log-and-skip (core.py:1074-1077). Illegal filename characters are
+    stripped from the formatted name afterwards (core.py:1079-1083),
+    and values never reach a regex — no injection.
+    """
     import re
 
-    parts = []
-    for seg in re.split(r"(\{title\}|\{ext\})", pattern):
-        if seg == "{title}":
-            parts.append(clean_tag_col(F.col("title")))
-        elif seg == "{ext}":
-            parts.append(F.col("ext"))
-        elif seg:
-            parts.append(F.lit(seg))
-    new_name = F.concat(*parts)
+    parts: list = []
+    for i, seg in enumerate(re.split(r"\{(\w+)\}", pattern)):
+        if i % 2 == 0:  # literal text between fields
+            if seg:
+                parts.append(F.lit(seg))
+        elif seg in _RAW_TEMPLATE_FIELDS:
+            if seg not in files.columns:
+                raise ValueError(f"rename pattern error: missing key {{{seg}}}")
+            parts.append(F.coalesce(F.col(seg), F.lit("")))
+        elif seg in files.columns:
+            parts.append(
+                F.coalesce(
+                    F.nullif(clean_tag_col(F.col(seg).cast("string")), F.lit("")),
+                    F.lit("unknown"),
+                )
+            )
+        else:
+            raise ValueError(f"rename pattern error: missing key {{{seg}}}")
+    # reference core.py:1079-1083: strip invalid filename chars from the
+    # formatted base, then trim. '/' removal keeps the name inside _dir.
+    new_name = F.trim(F.translate(F.concat(*parts), '<>:"/\\|?*', ""))
     with_target = files.withColumn("_dir", dirname_col(F.col("path"))).withColumn(
         "_new_name", new_name
     )

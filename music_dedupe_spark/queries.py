@@ -370,11 +370,15 @@ def w1_sessionize(spark, sf):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _t(spark, sf, "events")
     # parquet timestamps load as TIMESTAMP_NTZ which can't cast to long
-    # directly; hop through TIMESTAMP (session TZ is pinned UTC)
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # directly; hop through TIMESTAMP (session TZ is pinned UTC).
+    # Microsecond precision: the driver's event timestamps carry sub-second
+    # parts, and the oracle compares exact intervals (ts - lag(ts) >
+    # INTERVAL 30 MINUTE) — a whole-second cast sessionizes gaps in
+    # (1800, 1801) differently.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     sessions = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     ).withColumn(
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

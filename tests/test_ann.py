@@ -54,6 +54,19 @@ def test_ivf_recall(embeddings, queries, truth):
     assert _recall(rows, truth) >= 0.6, "IVF recall too low"
 
 
+def test_ivf_recall_on_sorted_corpus(embeddings, queries, truth):
+    """Adversarial layout: range-partition + sort the corpus by its
+    first embedding component, so the head partitions hold one region of
+    the space. A head-of-partition (limit) training sample would fit
+    centroids to that region only; the uniform rand-ordered sample must
+    keep recall up regardless of physical order."""
+    sorted_emb = embeddings.repartitionByRange(
+        8, F.element_at("embedding", 1)
+    ).sortWithinPartitions(F.element_at("embedding", 1))
+    rows = ivf_topk(sorted_emb, queries, n_cells=16, nprobe=6).collect()
+    assert _recall(rows, truth) >= 0.6, "IVF recall collapsed on sorted corpus"
+
+
 def test_ivf_scan_fraction(embeddings, queries):
     # the point of IVF: candidates per query ≪ corpus
     from music_dedupe_spark.operators.similarity_search import ivf_index

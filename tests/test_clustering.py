@@ -77,7 +77,10 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     want = {r["member_id"]: r["entity_id"] for r in connected_components(df).collect()}
 
     ckpt = str(tmp_path / "cc")
-    connected_components(df, checkpoint_dir=ckpt, max_iterations=1)
+    # an exhausted iteration budget fails LOUDLY (exhaustion is not
+    # convergence) — but the partial checkpoint survives for resume
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, checkpoint_dir=ckpt, max_iterations=1)
     assert latest_checkpoint(ckpt) == 0  # partial run persisted
     resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
     got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}

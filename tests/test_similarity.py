@@ -4,6 +4,7 @@ fuzz_ratio must be bit-identical to thefuzz.fuzz.ratio backed by
 python-Levenshtein (the reference's scorer, core.py:29,695): golden
 values below were computed with that stack."""
 
+import math
 import random
 
 import pandas as pd
@@ -112,7 +113,9 @@ def test_name_scores_frame_parity():
         if lev >= 0.8:  # cascade contract: jw computed only where relevant
             assert out["jw"].iloc[i] == pytest.approx(jaro_winkler(x, y))
         else:
-            assert out["jw"].iloc[i] == 0.0
+            # gated-out jw is NaN (nulled by the scorer before persisting),
+            # never a fake 0.0 that could mislead threshold tuning
+            assert math.isnan(out["jw"].iloc[i])
 
 
 def test_unicode_safety():

@@ -60,6 +60,34 @@ def test_rename_plan_collisions(spark):
     assert got == ["d/Alpha (1).py", "d/Alpha (2).py", "d/Alpha.py", "e/Beta.js"]
 
 
+def test_rename_plan_multi_field_template(spark):
+    """F8 general template: any {field} naming a column substitutes it
+    (ref pattern.format(**meta), core.py:1073) — 3-field pattern with
+    collisions + illegal-char stripping."""
+    rows = [
+        ("r1", "d/x - Alpha.py", "c1", "py", "1"),
+        ("r1", "d/y - Alpha.py", "c2", "py", "2"),
+        ("r1", "e/solo - B:e*ta?.js", "c3", "js", "3"),
+    ]
+    df = with_derived_columns(
+        spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    )
+    plan = survivorship.rename_plan(df, "{repo} - {title} [{lang}].{ext}")
+    got = sorted(r["new_path"] for r in plan.collect())
+    # illegal chars <>:"/\|?* are stripped from the formatted name
+    assert got == [
+        "d/r1 - Alpha [py] (1).py",
+        "d/r1 - Alpha [py].py",
+        "e/r1 - Beta [js].js",
+    ]
+
+
+def test_rename_plan_unknown_field_raises(spark, files_df):
+    df = with_derived_columns(files_df)
+    with pytest.raises(ValueError, match="missing key"):
+        survivorship.rename_plan(df, "{artist} - {title}.{ext}")
+
+
 def test_apply_delete_anti_join(derived):
     plan = survivorship.clean_short_plan(derived)
     remaining = survivorship.apply_delete(derived, plan)
