@@ -41,16 +41,7 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 def documents_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents table to the engine's corpus shape."""
-    from pyspark.sql import functions as F
-
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        F.col("source").alias("repo"),
-        F.format_string("docs/doc_%05d.txt", F.col("doc_id")).alias("path"),
-        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
-        F.lit("txt").alias("lang"),
-        F.col("text").alias("content"),
-    )
+    return _q.docs_as_files(spark, sf_dir)
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

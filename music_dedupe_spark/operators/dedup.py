@@ -87,6 +87,15 @@ def ngram_jaccard_pairs(
         F.col("lang"),
         F.col("source"),
     ).select("doc_id", F.xxhash64("lang", "source", "sh").alias("shk"))
+    # the shingle explode is consumed by up to 4 branches (DF counts,
+    # the anti-join, per-doc sizes, and both join sides); without a
+    # persist each branch re-explodes every document. MEMORY_AND_DISK:
+    # ~10x the text volume, spills to local disk at scale — the standard
+    # space/time trade for set-similarity joins (recompute instead by
+    # dropping the persist if local disk is the scarcer resource).
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         # shingles are distinct per doc (array_distinct), so count(*) per
         # shk == per-block document frequency. groupBy (not a window):

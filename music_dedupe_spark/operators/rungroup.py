@@ -81,6 +81,16 @@ def sorted_run_groups(
     Returns ``(id_col, key_col, group_id)`` where ``group_id`` is the id
     of the group-head row (globally unique, deterministic). Groups of
     size 1 are non-candidates; callers filter via ``candidate_groups``.
+
+    Scale ceiling (documented, gated): the carry-propagation fixpoint
+    collects one summary row per partition per round — with ~50k-row
+    partitions that is O(n / 50k) driver rows, ~2e7 at 10^12 files.
+    The operator is inherently sequential (each group head depends on
+    the previous row), so this is the price of EXACT reference parity;
+    ``PipelineConfig.rungroup_max_rows`` gates the channel out of the
+    candidate union above 1e8 rows, where the MinHash-LSH channel
+    (fixed-width signatures, fully distributed) supplies fuzzy recall
+    instead.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

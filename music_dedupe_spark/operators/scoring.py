@@ -101,10 +101,12 @@ def score_candidates(
          returns (fuzz_key, jw, norm_lev) — ids and everything else
          stay in the JVM row;
       3. the gate is a Catalyst predicate over those scores;
-      4. token-hash arrays are NULLED with when() for non-survivors,
-         so only gate-passing pairs ship their (int64, bottom-capped)
-         token sets to the Jaccard UDF — conditional shipping without
-         branching the plan or persisting mid-stage;
+      4. token-hash arrays are NULLED with when(_ship) — a JVM
+         levenshtein prefilter that provably contains the gate — so
+         only plausible pairs ship their (int64, bottom-capped) token
+         sets through the join exchanges and the Arrow boundary:
+         conditional shipping without branching the plan or persisting
+         mid-stage;
       5. is_dup is a Catalyst predicate on top.
 
     Output: (left_id, right_id, fuzz_key, jw, norm_lev, jaccard
@@ -116,19 +118,73 @@ def score_candidates(
     from music_dedupe_spark.functions.similarity import name_scores_arrays
 
     cfg = cfg or ScoringConfig()
-    cols = ("file_id", "norm_name", "content_sha256", "token_hashes")
-    left, right = _two_sided(features, cols)
+    # --- join order is the bytes-per-pair optimization -------------------
+    # The token-hash arrays are ~2 KB per side; shipping them for every
+    # candidate pair dominated Arrow traffic AND the second join's
+    # exchange (each pair row would drag its left array through the
+    # shuffle by right_id). Instead:
+    #   1-2. attach only the NARROW features per side (~100 B/pair rows);
+    #   3.   compute ``_ship``, a Catalyst over-approximation of the
+    #        gate: every gate-passing pair satisfies
+    #        levenshtein(l, r) <= 0.15 * (|l| + |r|)  — proof:
+    #        fuzz > 85 needs indel <= 0.145*lensum and lev <= indel;
+    #        the jw branch needs norm_lev >= 0.86 i.e.
+    #        lev <= 0.14*maxlen <= 0.15*lensum  (tests/test_similarity
+    #        property-checks the implication);
+    #   4-5. join each side's token arrays, nulling them via when(_ship)
+    #        BEFORE the next exchange / the Arrow boundary, so only the
+    #        small gate-candidate fraction ever moves array bytes.
+    # Exact-content pairs skip jaccard entirely, so they don't ship
+    # arrays either.
+    narrow = ("file_id", "norm_name", "content_sha256")
+    left, right = _two_sided(features, narrow)
+    th_l = features.select(
+        F.col("file_id").alias("left_id"), F.col("token_hashes").alias("token_hashes_l")
+    )
+    th_r = features.select(
+        F.col("file_id").alias("right_id"), F.col("token_hashes").alias("token_hashes_r")
+    )
+    # containment bound derived from cfg so custom thresholds stay safe:
+    # fuzz > t      ==> round(100*(1-indel/lensum)) > t ==> raw >= t+0.5
+    #               ==> lev <= indel <= (1-(t+0.5)/100) * lensum
+    # norm_lev >= m ==> lev <= (1-m) * maxlen <= (1-m) * lensum
+    ship_frac = max(1.0 - (cfg.fuzz_threshold + 0.5) / 100.0, 1.0 - cfg.min_norm_lev)
+    ship = (~F.col("exact_content")) & (
+        F.levenshtein("norm_name_l", "norm_name_r")
+        <= ship_frac * (F.length("norm_name_l") + F.length("norm_name_r"))
+    )
+    # Equal-name pairs — the dominant case inside exact-key blocks,
+    # where EVERY pair of the block repeats the same string twice — have
+    # known scores (fuzz=100, jw=1, norm_lev=1): flag them with one
+    # boolean and null both name strings, so the hot blocks of a 10^12
+    # corpus ship ~2 bytes of name per pair instead of the string pair
+    # (the dictionary-encoding advice, done as an O(1) Catalyst branch
+    # with no extra shuffle; the kernel skips them entirely).
+    names_equal = F.col("norm_name_l") == F.col("norm_name_r")
     joined = (
         pairs.select("left_id", "right_id")
         .join(left, F.col("left_id") == F.col("file_id_l"))
         .join(right, F.col("right_id") == F.col("file_id_r"))
         .withColumn("exact_content", F.col("content_sha256_l") == F.col("content_sha256_r"))
+        .withColumn("_ship", ship)
+        .withColumn("names_equal", names_equal)
+        .withColumn("norm_name_l", F.when(~names_equal, F.col("norm_name_l")))
+        .withColumn("norm_name_r", F.when(~names_equal, F.col("norm_name_r")))
+        .select(
+            "left_id", "right_id", "norm_name_l", "norm_name_r",
+            "exact_content", "names_equal", "_ship",
+        )
+        .join(th_l, "left_id")
+        .withColumn("token_hashes_l", F.when(F.col("_ship"), F.col("token_hashes_l")))
+        .join(th_r, "right_id")
+        .withColumn("token_hashes_r", F.when(F.col("_ship"), F.col("token_hashes_r")))
         .select(
             "left_id",
             "right_id",
             "norm_name_l",
             "norm_name_r",
             "exact_content",
+            "names_equal",
             "token_hashes_l",
             "token_hashes_r",
         )
@@ -150,14 +206,33 @@ def score_candidates(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            av = np.asarray(rb.column(2).to_pylist(), dtype=object)
-            bv = np.asarray(rb.column(3).to_pylist(), dtype=object)
-            fuzz, jw, lev = name_scores_arrays(av, bv)
+            eq = rb.column(5).to_numpy(zero_copy_only=False).astype(bool)
+            # equal-name pairs carry null names and known scores — only
+            # the distinct-name remainder pays string transfer + the DP
+            # kernel (see the names_equal branch in the join plan above)
+            fuzz = np.full(rb.num_rows, 100, dtype=np.int32)
+            jw = np.ones(rb.num_rows, dtype=np.float64)
+            lev = np.ones(rb.num_rows, dtype=np.float64)
+            ne = ~eq
+            if ne.any():
+                av = np.asarray(rb.column(2).to_pylist(), dtype=object)[ne]
+                bv = np.asarray(rb.column(3).to_pylist(), dtype=object)[ne]
+                fuzz[ne], jw[ne], lev[ne] = name_scores_arrays(av, bv)
             exact = rb.column(4).to_numpy(zero_copy_only=False).astype(bool)
             gate = exact | (fuzz > fuzz_th) | ((jw >= min_jw) & (lev >= min_lev))
             jac = np.full(rb.num_rows, np.nan)
-            off_l, val_l = _list_views(rb.column(5))
-            off_r, val_r = _list_views(rb.column(6))
+            off_l, val_l = _list_views(rb.column(6))
+            off_r, val_r = _list_views(rb.column(7))
+            # the _ship prefilter must contain the gate (see join-order
+            # comment in score_candidates): a gate-passing pair with a
+            # nulled array would silently score an empty-set jaccard.
+            # One vectorized check per batch keeps that invariant loud.
+            nulls = np.asarray(rb.column(6).is_null()) | np.asarray(rb.column(7).is_null())
+            bad = gate & ~exact & nulls
+            if bad.any():
+                raise AssertionError(
+                    f"_ship prefilter dropped {int(bad.sum())} gate-passing pair(s)"
+                )
             for i in np.flatnonzero(gate & ~exact):
                 x = val_l[off_l[i] : off_l[i + 1]]
                 y = val_r[off_r[i] : off_r[i + 1]]

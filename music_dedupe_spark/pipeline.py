@@ -37,6 +37,14 @@ class PipelineConfig:
     resume: bool = False
     # set by run_pipeline (features.count()); callers may pre-set to skip
     n_rows_hint: int | None = None
+    # scale ceiling for the exact sorted-neighborhood channel (J1): its
+    # carry-propagation fixpoint collects one summary row per ~50k-row
+    # partition per round — O(n / 50k) driver rows, i.e. ~2e7 rows at
+    # 1e12 files. Above this corpus size the channel is skipped and the
+    # MinHash-LSH channel (fixed-width, fully distributed) carries the
+    # fuzzy recall instead; the F1 criterion is measured at the
+    # reference blocking key, which exact_key_pairs still covers.
+    rungroup_max_rows: int = 100_000_000
 
 
 def eligible_files(files: DataFrame) -> DataFrame:
@@ -63,21 +71,23 @@ def generate_candidates(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
         blocking.exact_key_pairs(features, cap=cfg.block_cap),
     ]
     # size the run-group scan: ~50k rows per sequential partition pass
-    # (Python O(rows) per partition), clamped to the shuffle width
+    # (Python O(rows) per partition), clamped to the shuffle width.
+    # Gate the channel by corpus size: see PipelineConfig.rungroup_max_rows.
     n_rows = cfg.n_rows_hint
-    shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    rg_parts = min(shuffle_n, max(1, (n_rows or 10**9) // 50_000 + 1))
-    rg = rungroup.sorted_run_groups(
-        features,
-        key_col="norm_name",
-        threshold=cfg.rungroup_threshold,
-        num_partitions=rg_parts,
-    )
-    channels.append(
-        rungroup.group_pairs(rg, max_group_size=cfg.block_cap).withColumn(
-            "channel", F.lit("sorted_neighborhood")
-        ).select("left_id", "right_id", "channel")
-    )
+    if n_rows is None or n_rows <= cfg.rungroup_max_rows:
+        shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        rg_parts = min(shuffle_n, max(1, (n_rows or 10**9) // 50_000 + 1))
+        rg = rungroup.sorted_run_groups(
+            features,
+            key_col="norm_name",
+            threshold=cfg.rungroup_threshold,
+            num_partitions=rg_parts,
+        )
+        channels.append(
+            rungroup.group_pairs(rg, max_group_size=cfg.block_cap).withColumn(
+                "channel", F.lit("sorted_neighborhood")
+            ).select("left_id", "right_id", "channel")
+        )
     if cfg.use_lsh:
         channels.append(
             blocking.minhash_lsh_pairs(

@@ -36,6 +36,19 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries of every file scan in the plan — the
+    partition-pruning check (X10): a predicate on a partition column
+    must prune directories at planning time, not filter rows after a
+    full scan."""
+    txt = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", txt):
+        if m.group(1).strip():
+            out.extend(s.strip() for s in m.group(1).split(","))
+    return out
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 

@@ -46,6 +46,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents table to the engine's corpus shape
+    (BASELINE.json input_hint: repo, path, commit, lang, content)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.format_string("docs/doc_%05d.txt", F.col("doc_id")).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S-family: scans, pagination, counts (SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -530,6 +543,54 @@ def o6_log_ring(spark, sf):
             F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         )
     )
+
+
+@register(
+    "s12_artifacts",
+    """WITH f AS (
+         SELECT source AS repo,
+                printf('docs/doc_%05d.txt', doc_id) AS path,
+                printf('doc_%05d', doc_id) AS stem,
+                length(text) AS size_chars,
+                substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40) AS commit_sha
+         FROM documents
+       ),
+       base AS (
+         SELECT substr(sha256(repo || chr(31) || path || chr(31) || commit_sha), 1, 32)
+                  AS file_id,
+                'docs/' || stem AS base_path, stem, repo, size_chars
+         FROM f
+       )
+       SELECT file_id, base_path || '.nfo' AS artifact_path,
+              'nfo' AS artifact_kind,
+              printf('<?xml version="1.0" encoding="utf-8" standalone="yes"?>
+<musicvideo>
+  <title>%s</title>
+  <artist>%s</artist>
+  <album>%s</album>
+  <plot></plot>
+  <runtime>%d:%02d</runtime>
+</musicvideo>', stem, repo, 'docs',
+                     CAST(floor(size_chars / 60) AS BIGINT), size_chars % 60)
+                AS artifact_payload
+       FROM base
+       UNION ALL
+       SELECT file_id, base_path || '.jpg' AS artifact_path,
+              'jpg' AS artifact_kind, NULL AS artifact_payload
+       FROM base
+       ORDER BY artifact_path, artifact_kind""",
+)
+def s12_artifacts(spark, sf):
+    """S12 + F11: the side-output artifact table (one .nfo row with the
+    XML template payload + one .jpg row per file) the reference's
+    task_extract_meta would write (core.py:890-958), derived over the
+    documents corpus. No art column in the driver tables, so jpg
+    payloads are null and no folder.jpg rows are emitted."""
+    from music_dedupe_spark.operators.multimodal import side_output_artifacts
+    from music_dedupe_spark.pipeline import ingest
+
+    feats = ingest(docs_as_files(spark, sf))
+    return side_output_artifacts(feats).orderBy("artifact_path", "artifact_kind")
 
 
 @register(

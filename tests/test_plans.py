@@ -52,3 +52,23 @@ def test_group_pairs_small_side_broadcast(spark):
     )
     pairs = group_pairs(sorted_run_groups(df, num_partitions=2))
     assert has_broadcast_join(pairs)
+
+
+def test_repo_partitioned_scan_prunes_partitions(spark, files_df, tmp_path):
+    """P2 path-prefix scoping (ref scans under a path prefix,
+    core.py:585-590) as PHYSICAL partition pruning: a repo-partitioned
+    layout + a repo predicate must prune at planning time
+    (PartitionFilters), and only the matching repo's files are read."""
+    from music_dedupe_spark.plans import partition_filters
+
+    d = str(tmp_path / "by_repo")
+    files_df.write.partitionBy("repo").mode("overwrite").parquet(d)
+    one_repo = files_df.select("repo").first()["repo"]
+
+    scoped = spark.read.parquet(d).filter(F.col("repo") == one_repo).select("path")
+    pf = partition_filters(scoped)
+    assert any("repo" in f for f in pf), f"no partition filter in plan: {pf}"
+    # the row-level PushedFilters must NOT need the repo predicate — it
+    # is resolved by directory pruning
+    want = files_df.filter(F.col("repo") == one_repo).count()
+    assert scoped.count() == want

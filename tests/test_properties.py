@@ -82,3 +82,33 @@ def test_name_scores_frame_matches_scalars(pairs):
     for i, (x, y) in enumerate(pairs):
         assert out["fuzz_key"].iloc[i] == fuzz_ratio(x, y)
         assert abs(out["norm_lev"].iloc[i] - norm_levenshtein(x, y)) < 1e-12
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_ship_prefilter_contains_gate(a, b):
+    """score_candidates nulls token arrays when the JVM levenshtein
+    prefilter fails; that is only sound if EVERY gate-passing pair
+    satisfies lev(a,b) <= ship_frac * (|a| + |b|). Property-check the
+    containment for the default ScoringConfig over arbitrary strings."""
+    import numpy as np
+
+    from music_dedupe_spark.functions.similarity import (
+        levenshtein_distance,
+        name_scores_arrays,
+    )
+    from music_dedupe_spark.operators.scoring import ScoringConfig
+
+    cfg = ScoringConfig()
+    fuzz, jw, lev_n = name_scores_arrays(
+        np.array([a], dtype=object), np.array([b], dtype=object)
+    )
+    gate = (fuzz[0] > cfg.fuzz_threshold) or (
+        (not np.isnan(jw[0]))
+        and jw[0] >= cfg.min_jaro_winkler
+        and lev_n[0] >= cfg.min_norm_lev
+    )
+    ship_frac = max(1.0 - (cfg.fuzz_threshold + 0.5) / 100.0, 1.0 - cfg.min_norm_lev)
+    ship = levenshtein_distance(a, b) <= ship_frac * (len(a) + len(b))
+    if gate:
+        assert ship, (a, b, fuzz[0], jw[0], lev_n[0])

@@ -131,3 +131,34 @@ def test_ngram_jaccard_df_cut_bounds_hot_shingles(spark):
     assert uncut == n * (n - 1) // 2  # the quadratic explosion, live
     cut = ngram_jaccard_pairs(docs, threshold=0.01, df_cap=100).count()
     assert cut == 0, f"hot shingles still paired {cut} docs"
+
+
+def test_rungroup_channel_gated_by_corpus_size(spark):
+    """The exact sorted-neighborhood channel's carry-propagation collects
+    O(n/50k) driver rows per round — a documented scale ceiling. Above
+    PipelineConfig.rungroup_max_rows the channel must drop out of the
+    union (LSH carries fuzzy recall instead)."""
+    from music_dedupe_spark.fixtures import generate_corpus, write_corpus
+    from music_dedupe_spark.pipeline import PipelineConfig, generate_candidates, ingest
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    write_corpus(generate_corpus(seed=3, n_base=120, n_clusters=20), d)
+    feats = ingest(spark.read.parquet(f"{d}/files.parquet")).persist()
+    n = feats.count()
+
+    small_cfg = PipelineConfig(n_rows_hint=n)
+    big_cfg = PipelineConfig(n_rows_hint=n, rungroup_max_rows=n - 1)
+    ch_small = {
+        r["channel"]
+        for r in generate_candidates(feats, small_cfg).select("channel").distinct().collect()
+    }
+    ch_big = {
+        r["channel"]
+        for r in generate_candidates(feats, big_cfg).select("channel").distinct().collect()
+    }
+    assert "sorted_neighborhood" in ch_small
+    assert "sorted_neighborhood" not in ch_big
+    # the other channels are unaffected by the gate
+    assert {"exact_key", "exact_content"} <= ch_big
+    feats.unpersist()
