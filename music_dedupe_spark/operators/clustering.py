@@ -110,7 +110,10 @@ def connected_components(
         # persist of ls measured 40% SLOWER (materialization job cost).
         ls = _large_star(cur.select(F.col("u"), F.col("v")))
         ss = _small_star(ls.select(F.col("u"), F.col("v")))
-        ss = ss.localCheckpoint()  # truncate lineage every iteration
+        # truncate lineage every iteration; eager=False so the checksum
+        # collect right below materializes the checkpoint — ONE job per
+        # iteration instead of checkpoint-job + checksum-job
+        ss = ss.localCheckpoint(eager=False)
         checksum = _edge_checksum(ss)
         if checkpoint_dir:
             path = f"{checkpoint_dir}/iter_{it:04d}"
