@@ -87,3 +87,112 @@ def test_stream_event_metrics_memory_sink(spark, sf_dir, tmp_path):
     # subset, but schema + rows must be well-formed
     assert set(out.columns) == {"window_start", "event_type", "n", "total_value"}
     assert out.count() >= 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): in-batch gaps
+    close sessions immediately; the final open session closes when the
+    event-time watermark passes last_ts + gap (timeout path). State per
+    user is O(1)."""
+    import time as _time
+
+    import pandas as pd
+
+    from music_dedupe_spark.streaming.sessionize import run_sessionize_on_directory
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]}
+        ).to_parquet(src / name, coerce_timestamps="us")  # Spark can't read NANOS
+        _time.sleep(1.05)  # file source orders batches by mtime
+
+    # batch 1: user 1 — burst A (2 events), 2h gap, burst B (2 events)
+    write("f1.parquet", [(1, t0), (1, t0 + 5 * m), (1, t0 + 120 * m), (1, t0 + 121 * m)])
+    # batch 2: far-future dummy advances the watermark way past user 1
+    write("f2.parquet", [(99, t0 + pd.Timedelta(days=30))])
+    # batch 3: another event so a micro-batch runs WITH the advanced
+    # watermark and fires user 1's timeout
+    write("f3.parquet", [(98, t0 + pd.Timedelta(days=30, hours=1))])
+
+    q = run_sessionize_on_directory(spark, str(src), query_name="sess_test", gap_seconds=1800)
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["n_events"], r["closed_by"]): r
+            for r in spark.sql("SELECT * FROM sess_test").collect()
+        }
+    finally:
+        q.stop()
+
+    us = lambda td: int(td.value // 1_000)  # pandas ns -> us epoch
+    a = rows[(1, 2, "gap")]
+    assert a["session_start_us"] == us(t0)
+    assert a["session_end_us"] == us(t0 + 5 * m)
+    b = rows[(1, 2, "timeout")]
+    assert b["session_start_us"] == us(t0 + 120 * m)
+    assert b["session_end_us"] == us(t0 + 121 * m)
+
+
+def test_stateful_sessionize_matches_batch_semantics(spark, tmp_path):
+    """The streaming sessionizer must produce the same sessions as the
+    batch lag+cumsum query (w1_sessionize) once every session is closed
+    by the watermark."""
+    import time as _time
+
+    import pandas as pd
+
+    from music_dedupe_spark.streaming.sessionize import run_sessionize_on_directory
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 8)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    pdf = ev.toPandas()
+    assert len(pdf) > 50
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    pdf.to_parquet(src / "f1.parquet", coerce_timestamps="us")
+    _time.sleep(1.05)
+    far = pdf["ts"].max() + pd.Timedelta(days=30)
+    pd.DataFrame({"user_id": [99], "ts": [far]}).to_parquet(
+        src / "f2.parquet", coerce_timestamps="us"
+    )
+    _time.sleep(1.05)
+    pd.DataFrame({"user_id": [98], "ts": [far + pd.Timedelta(hours=2)]}).to_parquet(
+        src / "f3.parquet", coerce_timestamps="us"
+    )
+
+    q = run_sessionize_on_directory(spark, str(src), query_name="sess_parity", gap_seconds=1800)
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM sess_parity")
+            .filter(F.col("user_id") < 8)
+            .select("user_id", "session_start_us", "n_events")
+        )
+        got_rows = {tuple(r) for r in got.collect()}
+    finally:
+        q.stop()
+
+    # batch oracle: identical lag+cumsum sessionization at us precision
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_micros(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    want = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min(epoch).alias("session_start_us"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+    )
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
