@@ -91,26 +91,31 @@ SCORED_SCHEMA = (
 def score_candidates(
     pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None = None
 ) -> DataFrame:
-    """The cascade, tuned for minimum Python-boundary traffic (the
-    measured bottleneck is Arrow transfer, which does not parallelize
-    on one box and is pure waste on a cluster):
+    """The cascade, tuned for minimum per-pair traffic on BOTH sides of
+    the Arrow boundary (per-pair hash-join probes and Arrow transfer
+    were the two measured non-scaling components at high core counts):
 
-      1. join the narrow features per side; compare sha JVM-side into
-         ``exact_content`` (the 64-char digests never cross Arrow);
-      2. ONE scalar struct UDF ships just the two key strings and
-         returns (fuzz_key, jw, norm_lev) — ids and everything else
-         stay in the JVM row;
-      3. the gate is a Catalyst predicate over those scores;
-      4. token-hash arrays are NULLED with when(_ship) — a JVM
-         levenshtein prefilter that provably contains the gate — so
-         only plausible pairs ship their (int64, bottom-capped) token
-         sets through the join exchanges and the Arrow boundary:
-         conditional shipping without branching the plan or persisting
-         mid-stage;
-      5. is_dup is a Catalyst predicate on top.
+      1. THREE hash joins total attach the features: left narrow
+         (name + unhexed sha), right narrow + right token arrays in one
+         join (arrays ride the linear features build side, never a
+         pair-row exchange), then — after ``_ship`` is computable —
+         left token arrays;
+      2. ``exact_content`` compares 32-byte unhexed shas JVM-side (the
+         digests never cross Arrow); ``names_equal`` pairs (every pair
+         of an exact-key block) null BOTH name strings and skip the DP
+         kernel entirely — their scores are constants (100 / 1 / 1);
+      3. ``_ship``, a JVM levenshtein prefilter that PROVABLY contains
+         the gate, nulls each side's token arrays before the next
+         exchange / the Arrow boundary — only plausible pairs ever move
+         array bytes, with no plan branching and no mid-stage persist;
+      4. ONE mapInArrow hop computes (fuzz_key, jw, norm_lev) over the
+         batch's distinct name pairs and exact jaccard for gate
+         survivors; ids pass through zero-copy;
+      5. the gate and is_dup are predicates over those scores.
 
-    Output: (left_id, right_id, fuzz_key, jw, norm_lev, jaccard
-    (null when gated out), exact_content, gate_passed, is_dup).
+    Output: (left_id, right_id, fuzz_key, jw (null when the cascade
+    skipped it), norm_lev, jaccard (null when gated out),
+    exact_content, gate_passed, is_dup).
     """
     import numpy as np
     import pyarrow as pa
@@ -120,29 +125,40 @@ def score_candidates(
     cfg = cfg or ScoringConfig()
     # --- join order is the bytes-per-pair optimization -------------------
     # The token-hash arrays are ~2 KB per side; shipping them for every
-    # candidate pair dominated Arrow traffic AND the second join's
-    # exchange (each pair row would drag its left array through the
-    # shuffle by right_id). Instead:
-    #   1-2. attach only the NARROW features per side (~100 B/pair rows);
-    #   3.   compute ``_ship``, a Catalyst over-approximation of the
-    #        gate: every gate-passing pair satisfies
-    #        levenshtein(l, r) <= 0.15 * (|l| + |r|)  — proof:
-    #        fuzz > 85 needs indel <= 0.145*lensum and lev <= indel;
-    #        the jw branch needs norm_lev >= 0.86 i.e.
-    #        lev <= 0.14*maxlen <= 0.15*lensum  (tests/test_similarity
-    #        property-checks the implication);
-    #   4-5. join each side's token arrays, nulling them via when(_ship)
-    #        BEFORE the next exchange / the Arrow boundary, so only the
-    #        small gate-candidate fraction ever moves array bytes.
-    # Exact-content pairs skip jaccard entirely, so they don't ship
-    # arrays either.
-    narrow = ("file_id", "norm_name", "content_sha256")
-    left, right = _two_sided(features, narrow)
+    # candidate pair would dominate Arrow traffic AND drag arrays
+    # through pair-row exchanges under sort-merge joins at scale.
+    # ``_ship`` is the Catalyst over-approximation of the gate: every
+    # gate-passing pair satisfies
+    #   levenshtein(l, r) <= ship_frac * (|l| + |r|)
+    # — proof: fuzz > t needs indel <= (1-(t+.5)/100)*lensum and
+    # lev <= indel; the jw branch needs norm_lev >= m i.e.
+    # lev <= (1-m)*maxlen <= (1-m)*lensum (tests/test_properties.py
+    # property-checks the implication). Exact-content pairs skip
+    # jaccard entirely, so they don't ship arrays either.
+    # shas ride the pair joins only for the exact_content equality test:
+    # 32-byte unhex binaries halve that traffic vs 64-char hex strings
+    # with identical equality semantics
+    narrow_feats = features.select(
+        "file_id", "norm_name", F.unhex("content_sha256").alias("content_sha256")
+    )
+    left = narrow_feats.select(
+        F.col("file_id").alias("file_id_l"),
+        F.col("norm_name").alias("norm_name_l"),
+        F.col("content_sha256").alias("content_sha256_l"),
+    )
+    # the right side carries its token arrays in the SAME join: they
+    # ride the (linear) features build/shuffle side, never a pair-row
+    # exchange, so merging them costs nothing at scale and saves a
+    # whole hash join per pair (the joins, not Arrow, were measured as
+    # the worst-scaling component at high core counts)
+    right = features.select(
+        F.col("file_id").alias("file_id_r"),
+        F.col("norm_name").alias("norm_name_r"),
+        F.unhex("content_sha256").alias("content_sha256_r"),
+        F.col("token_hashes").alias("token_hashes_r"),
+    )
     th_l = features.select(
         F.col("file_id").alias("left_id"), F.col("token_hashes").alias("token_hashes_l")
-    )
-    th_r = features.select(
-        F.col("file_id").alias("right_id"), F.col("token_hashes").alias("token_hashes_r")
     )
     # containment bound derived from cfg so custom thresholds stay safe:
     # fuzz > t      ==> round(100*(1-indel/lensum)) > t ==> raw >= t+0.5
@@ -170,14 +186,16 @@ def score_candidates(
         .withColumn("names_equal", names_equal)
         .withColumn("norm_name_l", F.when(~names_equal, F.col("norm_name_l")))
         .withColumn("norm_name_r", F.when(~names_equal, F.col("norm_name_r")))
+        # _ship is known here, so th_r is nulled BEFORE the next
+        # exchange (the th_l join) — implausible pairs never move array
+        # bytes through a shuffle or the Arrow boundary
+        .withColumn("token_hashes_r", F.when(F.col("_ship"), F.col("token_hashes_r")))
         .select(
             "left_id", "right_id", "norm_name_l", "norm_name_r",
-            "exact_content", "names_equal", "_ship",
+            "exact_content", "names_equal", "_ship", "token_hashes_r",
         )
         .join(th_l, "left_id")
         .withColumn("token_hashes_l", F.when(F.col("_ship"), F.col("token_hashes_l")))
-        .join(th_r, "right_id")
-        .withColumn("token_hashes_r", F.when(F.col("_ship"), F.col("token_hashes_r")))
         .select(
             "left_id",
             "right_id",
