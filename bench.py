@@ -63,8 +63,22 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
 
-    # warm the JVM/Arrow path once (excluded from timings)
+    # warm the JVM/Arrow path once (excluded from timings): the parquet
+    # reader JIT, AND one pass through our own Arrow kernel so the
+    # Python daemon workers are spawned and numpy/pandas are imported
+    # in them — otherwise the first pandas-UDF query pays ~2-4 s of
+    # process spawn that has nothing to do with its plan.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from music_dedupe_spark.operators.scoring import score_pairs  # noqa: F401
+    from music_dedupe_spark.functions.similarity import name_scores_udf
+    from pyspark.sql import functions as F
+
+    spark.range(2000).select(
+        name_scores_udf(
+            F.concat(F.lit("warm "), F.col("id").cast("string")),
+            F.lit("warm 1"),
+        )
+    ).count()
 
     for name in HEADLINE_RELATIONAL:
         t0 = time.time()
