@@ -257,7 +257,13 @@ def minhash_lsh_pairs(
         )
         .withColumn("channel", F.lit(channel))
     )
-    return small_pairs.unionByName(big_star).dropDuplicates(["left_id", "right_id"])
+    out = small_pairs.unionByName(big_star).dropDuplicates(["left_id", "right_id"])
+    # expose the persisted dependency so callers can unpersist once
+    # their downstream result is materialized (run_pipeline does) —
+    # otherwise the cached signatures pin executor memory for the
+    # session lifetime
+    out._mds_persisted = [banded]
+    return out
 
 
 #: Explicit channel precedence for union_channels: when the same pair is
@@ -276,6 +282,7 @@ def union_channels(*channels: DataFrame) -> DataFrame:
     """unionByName + dedup on the pair key (SURVEY §2.7); keeps the
     highest-precedence channel tag per pair via the explicit
     CHANNEL_PRIORITY map (exact > neighborhood > lsh), not string order."""
+    deps = [d for c in channels for d in getattr(c, "_mds_persisted", [])]
     out = channels[0]
     for c in channels[1:]:
         out = out.unionByName(c)
@@ -288,8 +295,11 @@ def union_channels(*channels: DataFrame) -> DataFrame:
     )
     # min over (priority, channel) struct: one shuffle, deterministic
     # tie-break on name for channels sharing a priority bucket.
-    return (
+    merged = (
         out.groupBy("left_id", "right_id")
         .agg(F.min(F.struct(prio.alias("_p"), F.col("channel"))).alias("_pc"))
         .select("left_id", "right_id", F.col("_pc.channel").alias("channel"))
     )
+    if deps:
+        merged._mds_persisted = deps
+    return merged

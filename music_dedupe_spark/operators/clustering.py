@@ -135,10 +135,12 @@ def connected_components(
         prev_sum = checksum
         cur = ss
 
-    if not converged and start_iter < max_iterations:
+    if not converged:
         # exhaustion is NOT convergence: non-star edges would yield wrong
         # entity labels silently. Record it and fail loudly — the caller
-        # can resume from the checkpoint with a higher budget.
+        # can resume from the checkpoint with a higher budget. This also
+        # covers resuming with start_iter >= max_iterations (zero
+        # iterations executed = zero evidence of a fixpoint).
         if checkpoint_dir:
             _write_metrics(checkpoint_dir, {"converged": False, "iterations": max_iterations})
         raise RuntimeError(

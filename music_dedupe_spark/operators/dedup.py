@@ -119,12 +119,16 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("left_doc"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("right_doc"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    out = (
         inter.join(sa, "left_doc")
         .join(sb, "right_doc")
         .filter(jac >= threshold)
         .select("left_doc", "right_doc", F.round(jac, 4).alias("jaccard"))
     )
+    # unpersist handle for callers that materialize the result and want
+    # the ~10x-text shingle cache released before session end
+    out._mds_persisted = [shingles]
+    return out
 
 
 @register(

@@ -73,8 +73,14 @@ def generate_candidates(features: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # size the run-group scan: ~50k rows per sequential partition pass
     # (Python O(rows) per partition), clamped to the shuffle width.
     # Gate the channel by corpus size: see PipelineConfig.rungroup_max_rows.
+    # An unset hint is COUNTED, not assumed small — skipping the gate for
+    # unknown sizes would default huge corpora into the non-scaling
+    # channel (run_pipeline always pre-sets the hint; this count only
+    # fires for direct generate_candidates callers).
     n_rows = cfg.n_rows_hint
-    if n_rows is None or n_rows <= cfg.rungroup_max_rows:
+    if n_rows is None:
+        n_rows = features.count()
+    if n_rows <= cfg.rungroup_max_rows:
         shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
         rg_parts = min(shuffle_n, max(1, (n_rows or 10**9) // 50_000 + 1))
         rg = rungroup.sorted_run_groups(
@@ -117,6 +123,10 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         cfg.n_rows_hint = features.count()  # also materializes the persist
 
     candidate_pairs = generate_candidates(features, cfg)
+    # operators may persist expensive shared subplans (minhash banded
+    # signatures) and hand back the handles; release them once the
+    # candidate stage is materialized below
+    _cand_deps = getattr(candidate_pairs, "_mds_persisted", [])
     if cfg.checkpoint_dir:
         _checkpoint(candidate_pairs, f"{cfg.checkpoint_dir}/stage1_candidates")
         candidate_pairs = files.sparkSession.read.parquet(
@@ -124,6 +134,9 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         )
     else:
         candidate_pairs = candidate_pairs.persist()
+        candidate_pairs.count()  # materialize before dropping the deps
+    for _d in _cand_deps:
+        _d.unpersist()
 
     scored = scoring.score_candidates(candidate_pairs, features, cfg.scoring)
     if cfg.checkpoint_dir:

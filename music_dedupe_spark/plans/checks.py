@@ -40,12 +40,16 @@ def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters entries of every file scan in the plan — the
     partition-pruning check (X10): a predicate on a partition column
     must prune directories at planning time, not filter rows after a
-    full scan."""
+    full scan.
+
+    Returns one string per scan (the full bracketed content, greedy to
+    the line's last ']') — filters like ``IN ([r1,r2])`` contain both
+    ']' and ',', so splitting would shred them into fragments."""
     txt = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", txt):
+    for m in re.finditer(r"PartitionFilters: \[(.*)\]", txt):
         if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+            out.append(m.group(1).strip())
     return out
 
 

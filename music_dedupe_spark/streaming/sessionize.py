@@ -12,7 +12,12 @@ open session per user:
 - the surviving open session is stored in state with an EVENT-TIME
   timeout at ``last_ts + gap``: when the watermark passes it, no
   in-order event can extend the session any more, so the timeout
-  callback emits it and clears the state.
+  callback emits it and clears the state;
+- a late (within-watermark, behind the open session) event is absorbed
+  into the open session when it lies within ``gap`` of its window,
+  else emitted as a ``late`` singleton session — the documented
+  approximation of O(1) summary state (exact replay would need the
+  full event history; the batch w1 query is the exact oracle).
 
 State per user is O(1) (three longs), so total state is O(active users
 within the watermark horizon) — bounded regardless of stream length,
@@ -35,7 +40,7 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("session_start_us", T.LongType()),
         T.StructField("session_end_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("closed_by", T.StringType()),  # gap | timeout
+        T.StructField("closed_by", T.StringType()),  # gap | timeout | late
     ]
 )
 
@@ -82,6 +87,24 @@ def _sessionize_group(gap_us: int):
         out = {k.name: [] for k in SESSION_SCHEMA.fields}
         for t in us:
             t = int(t)
+            if t < last_us:
+                # late-but-within-watermark event from a PREVIOUS batch's
+                # range (this batch itself is sorted). Summary state can't
+                # replay history, so: absorb it into the open session when
+                # it's within gap of the session window (extending the
+                # start downward), else emit it as its own late singleton
+                # session — the documented approximation of summary-state
+                # sessionizers (the batch w1 query is the exact oracle).
+                if t >= start_us - gap_us:
+                    start_us = min(start_us, t)
+                    n += 1
+                else:
+                    out["user_id"].append(user_id)
+                    out["session_start_us"].append(t)
+                    out["session_end_us"].append(t)
+                    out["n_events"].append(1)
+                    out["closed_by"].append("late")
+                continue
             if n > 0 and t - last_us > gap_us:
                 out["user_id"].append(user_id)
                 out["session_start_us"].append(start_us)

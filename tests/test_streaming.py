@@ -196,3 +196,58 @@ def test_stateful_sessionize_matches_batch_semantics(spark, tmp_path):
     )
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_stateful_sessionize_late_event(spark, tmp_path):
+    """A late-but-within-watermark event must never regress the open
+    session's end (inverted sessions) — it is absorbed when within gap
+    of the session window, else emitted as a 'late' singleton."""
+    import time as _time
+
+    import pandas as pd
+
+    from music_dedupe_spark.streaming.sessionize import run_sessionize_on_directory
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-01-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]}
+        ).to_parquet(src / name, coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    # batch 1 opens a session at [12:00, 12:01]
+    write("f1.parquet", [(1, t0), (1, t0 + m)])
+    # batch 2: one absorbable late event (11:50, within gap of start) and
+    # one far-late event (08:00, its own singleton), plus an in-order
+    # event extending the session to 12:10
+    write("f2.parquet", [(1, t0 - 10 * m), (1, t0 - 240 * m), (1, t0 + 10 * m)])
+    # advance watermark, then trigger the timeout
+    write("f3.parquet", [(99, t0 + pd.Timedelta(days=30))])
+    write("f4.parquet", [(98, t0 + pd.Timedelta(days=30, hours=1))])
+
+    q = run_sessionize_on_directory(spark, str(src), query_name="sess_late", gap_seconds=1800)
+    try:
+        q.processAllAvailable()
+        rows = [
+            tuple(r)
+            for r in spark.sql(
+                "SELECT session_start_us, session_end_us, n_events, closed_by "
+                "FROM sess_late WHERE user_id = 1 ORDER BY session_start_us"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+
+    us = lambda td: int(td.value // 1_000)
+    assert rows == [
+        (us(t0 - 240 * m), us(t0 - 240 * m), 1, "late"),
+        # main session: start extended down to 11:50 by the absorbed
+        # late event, end NEVER regressed, 4 events total
+        (us(t0 - 10 * m), us(t0 + 10 * m), 4, "timeout"),
+    ]
+    for start, end, *_ in rows:
+        assert end >= start
