@@ -85,7 +85,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     column names."""
     qs = {name: _wrap(fn) for name, fn in _q.queries().items()}
     qs["er_pipeline_clusters"] = _wrap(_flagship)  # non-SQL: rows-only
+    qs["er_incremental_clusters"] = _wrap(_incremental)  # non-SQL: rows-only
     return qs
+
+
+def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ER demonstration: resolve the even-id half of the
+    corpus, add the odd-id half via incremental_link (delta blocking +
+    delta scoring + CC over delta ∪ existing stars), and summarize the
+    updated multi-member entities. Label-identical to a full rerun
+    (tests/test_incremental_er.py proves it on labeled fixtures)."""
+    from pyspark.sql import functions as F
+
+    from music_dedupe_spark.operators.incremental_er import incremental_link
+    from music_dedupe_spark.pipeline import PipelineConfig, run_pipeline
+
+    files = documents_as_files(spark, sf_dir)
+    is_new = F.crc32("path") % 2 == 1
+    # LSH off for the gate demo: the delta-blocking/star-CC machinery is
+    # what this entry demonstrates, and the LSH signature pass (run
+    # twice: base + delta) dominates wall time at gate scale. The
+    # full-recall equality property is covered by test_incremental_er.
+    cfg = PipelineConfig(use_lsh=False)
+    base = run_pipeline(files.filter(~is_new), cfg)
+    inc = incremental_link(files.filter(is_new), base["features"], base["clusters"], cfg)
+    return (
+        inc["clusters"]
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("entity_id")
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -93,5 +123,6 @@ def oracle_sql() -> dict[str, str]:
     nation customer supplier part orders lineitem events documents
     embeddings are pre-registered views). Sketch-based / iterative ops
     (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-    er_pipeline_clusters) are intentionally omitted -> rows-only check."""
+    er_pipeline_clusters, er_incremental_clusters) are intentionally
+    omitted -> rows-only check."""
     return dict(_q.oracle_sql())

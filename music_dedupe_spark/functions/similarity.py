@@ -289,12 +289,18 @@ def _dp_from_codes(
 
 
 def name_scores_arrays(
-    av: np.ndarray, bv: np.ndarray
+    av: np.ndarray, bv: np.ndarray, jw_gate_lev: float = 0.8
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All three name-similarity kernels in ONE pass over the DISTINCT
     (a, b) pairs of the batch: factorize-based dedup, batched-DP kernels
     over the unique pairs. Inputs are object arrays of (non-null)
-    strings; returns (fuzz int32, jw float64, norm_lev float64)."""
+    strings; returns (fuzz int32, jw float64, norm_lev float64).
+
+    ``jw_gate_lev``: Jaro-Winkler is only decision-relevant alongside
+    norm_lev >= cfg.min_norm_lev, so the (python-loop) JW is computed
+    only where norm_lev clears this margin; callers with a custom
+    min_norm_lev below the 0.8 default must pass
+    min(0.8, cfg.min_norm_lev) (score_candidates does)."""
     # tuple keys force pandas' PyObject hash table — the string-key path
     # (a + sep + b) routes to a C-string table that TRUNCATES AT NUL
     # bytes (found by hypothesis: '\x000' vs '0' collided)
@@ -326,7 +332,7 @@ def name_scores_arrays(
     # see operators/scoring.py docstring). NaN fails every >= threshold
     # comparison, so the is_dup rule is unaffected.
     jw_u = np.full(len(ua), np.nan, dtype=np.float64)
-    for i in np.flatnonzero(lev_u >= 0.8):
+    for i in np.flatnonzero(lev_u >= jw_gate_lev):
         jw_u[i] = jaro_winkler(ua[i], ub[i])
 
     # np.unique returns first_idx in unique-code order == code value order

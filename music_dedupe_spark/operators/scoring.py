@@ -235,7 +235,9 @@ def score_candidates(
             if ne.any():
                 av = np.asarray(rb.column(2).to_pylist(), dtype=object)[ne]
                 bv = np.asarray(rb.column(3).to_pylist(), dtype=object)[ne]
-                fuzz[ne], jw[ne], lev[ne] = name_scores_arrays(av, bv)
+                fuzz[ne], jw[ne], lev[ne] = name_scores_arrays(
+                    av, bv, jw_gate_lev=min(0.8, min_lev)
+                )
             exact = rb.column(4).to_numpy(zero_copy_only=False).astype(bool)
             gate = exact | (fuzz > fuzz_th) | ((jw >= min_jw) & (lev >= min_lev))
             jac = np.full(rb.num_rows, np.nan)

@@ -112,3 +112,35 @@ def test_ship_prefilter_contains_gate(a, b):
     ship = levenshtein_distance(a, b) <= ship_frac * (len(a) + len(b))
     if gate:
         assert ship, (a, b, fuzz[0], jw[0], lev_n[0])
+
+
+@given(
+    st.text(max_size=30),
+    st.text(max_size=30),
+    st.integers(min_value=1, max_value=99),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_ship_prefilter_contains_gate_any_config(a, b, fuzz_th, min_lev):
+    """The ship_frac derivation must keep containment for ARBITRARY
+    ScoringConfig thresholds, not just the defaults — a custom config
+    must never null the arrays of a pair its own gate passes."""
+    import numpy as np
+
+    from music_dedupe_spark.functions.similarity import (
+        levenshtein_distance,
+        name_scores_arrays,
+    )
+
+    fuzz, jw, lev_n = name_scores_arrays(
+        np.array([a], dtype=object),
+        np.array([b], dtype=object),
+        jw_gate_lev=min(0.8, min_lev),  # as score_candidates passes it
+    )
+    gate = (fuzz[0] > fuzz_th) or (
+        (not np.isnan(jw[0])) and jw[0] >= 0.88 and lev_n[0] >= min_lev
+    )
+    ship_frac = max(1.0 - (fuzz_th + 0.5) / 100.0, 1.0 - min_lev)
+    ship = levenshtein_distance(a, b) <= ship_frac * (len(a) + len(b))
+    if gate:
+        assert ship, (a, b, fuzz_th, min_lev, fuzz[0], jw[0], lev_n[0])
