@@ -69,7 +69,6 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     # in them — otherwise the first pandas-UDF query pays ~2-4 s of
     # process spawn that has nothing to do with its plan.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    from music_dedupe_spark.operators.scoring import score_pairs  # noqa: F401
     from music_dedupe_spark.functions.similarity import name_scores_udf
     from pyspark.sql import functions as F
 
@@ -134,22 +133,44 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
 
     spark = get_spark("bench-scaling-prep", cpus=CPUS)
     feats = ingest(entry_mod.documents_as_files(spark, sf_dir))
-    feats.write.mode("overwrite").parquet(f"{work_dir}/features")
+    # replicate the input 3x so each timed run is ~3x longer (the ratio
+    # was previously capped by the ~4 s per-job fixed floor: session +
+    # stage scheduling, which does not shrink with cores and biases the
+    # 8->32 ratio low) — but with PERTURBED ids and names per replica:
+    # the scoring kernel factorizes the DISTINCT (name_l, name_r) pairs
+    # of each Arrow batch, so verbatim-replicated pairs that co-locate in
+    # a batch would skip the DP kernel and inflate pairs/s relative to
+    # unique-pair work. A per-replica name suffix keeps every replicated
+    # row distinct after factorization, so reported throughput is honest
+    # unique-pair throughput.
+    replicas = [feats]
+    for rep in (1, 2):
+        replicas.append(
+            feats.withColumn("file_id", F.concat("file_id", F.lit(f"#r{rep}")))
+            .withColumn("norm_name", F.concat("norm_name", F.lit(f" zz{rep}")))
+        )
+    feats_all = replicas[0]
+    for rf in replicas[1:]:
+        feats_all = feats_all.unionByName(rf)
+    feats_all.write.mode("overwrite").parquet(f"{work_dir}/features")
     ids = spark.read.parquet(f"{work_dir}/features").select(
         F.regexp_extract("path", r"doc_(\d+)", 1).cast("long").alias("n"), "file_id"
-    )
+    ).filter(~F.col("file_id").contains("#r"))
     l = ids.select(F.col("n").alias("nl"), F.col("file_id").alias("left_id"))
     r = ids.select(F.col("n").alias("nr"), F.col("file_id").alias("right_id"))
-    pairs = (
+    base_pairs = (
         l.join(r, (F.col("nr") > F.col("nl")) & (F.col("nr") <= F.col("nl") + SCALING_WINDOW))
         .select("left_id", "right_id")
     )
-    # replicate the pair set so each timed run is ~3x longer: the ratio
-    # was previously capped by the ~4 s per-job fixed floor (session +
-    # stage scheduling), which does not shrink with cores and biases the
-    # 8->32 ratio low. Scoring each candidate row is identical work
-    # whether or not another row repeats it.
-    pairs = pairs.union(pairs).union(pairs).repartition(128)
+    pairs = base_pairs
+    for rep in (1, 2):
+        pairs = pairs.union(
+            base_pairs.select(
+                F.concat("left_id", F.lit(f"#r{rep}")).alias("left_id"),
+                F.concat("right_id", F.lit(f"#r{rep}")).alias("right_id"),
+            )
+        )
+    pairs = pairs.repartition(128)
     pairs.write.mode("overwrite").parquet(f"{work_dir}/pairs")
     n = spark.read.parquet(f"{work_dir}/pairs").count()
     spark.stop()

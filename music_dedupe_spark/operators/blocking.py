@@ -243,8 +243,11 @@ def minhash_lsh_pairs(
     # the candidate stage right after anyway (pipeline.run_pipeline).
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _attach_block_size(banded)
+    # keep the PERSISTED handle separate: _attach_block_size reassigns to
+    # the post-join DataFrame, and unpersist() on that is a silent no-op —
+    # the cached signatures would pin executor memory for the session.
+    cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _attach_block_size(cached)
 
     small_pairs = _pairs_within(banded.filter(F.col("_bs") <= band_cap), ["_bk"], channel)
     big = banded.filter(F.col("_bs") > band_cap)
@@ -262,7 +265,7 @@ def minhash_lsh_pairs(
     # their downstream result is materialized (run_pipeline does) —
     # otherwise the cached signatures pin executor memory for the
     # session lifetime
-    out._mds_persisted = [banded]
+    out._mds_persisted = [cached]
     return out
 
 

@@ -95,7 +95,11 @@ def ngram_jaccard_pairs(
     # dropping the persist if local disk is the scarcer resource).
     from pyspark import StorageLevel
 
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    # keep the persisted handle in its own variable — `shingles` is
+    # reassigned by the anti-join below, and unpersisting the reassigned
+    # DataFrame would be a silent no-op (the cache would leak).
+    cached = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = cached
     if df_cap is not None:
         # shingles are distinct per doc (array_distinct), so count(*) per
         # shk == per-block document frequency. groupBy (not a window):
@@ -127,7 +131,7 @@ def ngram_jaccard_pairs(
     )
     # unpersist handle for callers that materialize the result and want
     # the ~10x-text shingle cache released before session end
-    out._mds_persisted = [shingles]
+    out._mds_persisted = [cached]
     return out
 
 

@@ -186,15 +186,21 @@ def sorted_run_groups(
     return out
 
 
+def _group_counts(run_groups: DataFrame) -> DataFrame:
+    """Per-group row counts via groupBy (AQE-splittable partial agg), NOT
+    a window: ``count(*) OVER (PARTITION BY group_id)`` pins each group to
+    one task, so a single hot run-group (identical keys all fuzz to 100)
+    serializes the stage — the same straggler pattern fixed in
+    blocking.py/dedup.py block-size counts."""
+    return run_groups.groupBy("group_id").agg(F.count("*").alias("_n"))
+
+
 def candidate_groups(run_groups: DataFrame) -> DataFrame:
     """Filter to groups of size > 1 (reference emits only those,
     core.py:700-705). Output: (file_id, norm_name, group_id)."""
-    from pyspark.sql import Window
-
-    return (
-        run_groups.withColumn("_n", F.count("*").over(Window.partitionBy("group_id")))
-        .filter(F.col("_n") > 1)
-        .drop("_n")
+    multi = _group_counts(run_groups).filter(F.col("_n") > 1).select("group_id")
+    return run_groups.join(multi, "group_id", "left_semi").select(
+        "file_id", "norm_name", "group_id"
     )
 
 
@@ -203,11 +209,12 @@ def group_pairs(run_groups: DataFrame, max_group_size: int = 50) -> DataFrame:
     plus head-star edges for every group (star keeps connectivity O(n)
     on hot groups — the quadratic bound the north rule requires).
     Output (left_id, right_id)."""
-    sized = candidate_groups(run_groups)
+    counts = _group_counts(run_groups).filter(F.col("_n") > 1)
+    multi = counts.select("group_id")
+    sized = run_groups.join(multi, "group_id", "left_semi")
     l = sized.select(F.col("group_id"), F.col("file_id").alias("left_id"))
     r = sized.select(F.col("group_id"), F.col("file_id").alias("right_id"))
-    counts = sized.groupBy("group_id").agg(F.count("*").alias("n"))
-    small = counts.filter(F.col("n") <= max_group_size).select("group_id")
+    small = counts.filter(F.col("_n") <= max_group_size).select("group_id")
     all_pairs = (
         l.join(r, "group_id")
         .filter(F.col("left_id") < F.col("right_id"))

@@ -30,8 +30,6 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from music_dedupe_spark.functions.similarity import hash_jaccard_udf, name_scores_udf
-
 
 @dataclass(frozen=True)
 class ScoringConfig:
@@ -55,37 +53,41 @@ NARROW_COLS = ("file_id", "norm_name", "content_sha256")
 FEATURE_COLS = ("file_id", "norm_name", "tokens", "content_sha256", "size_chars", "quality")
 
 
-def _two_sided(features: DataFrame, cols: tuple[str, ...]) -> tuple[DataFrame, DataFrame]:
-    f = features.select(*cols)
-    left = f.select(*[F.col(c).alias(f"{c}_l") for c in cols])
-    right = f.select(*[F.col(c).alias(f"{c}_r") for c in cols])
-    return left, right
-
-
-def pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
-    """Attach both sides' (wide) features to (left_id, right_id) pairs.
-    Retained for operators that need full rows; the cascade below joins
-    narrow columns instead."""
-    left, right = _two_sided(features, FEATURE_COLS)
-    return (
-        pairs.join(left, pairs["left_id"] == left["file_id_l"])
-        .join(right, pairs["right_id"] == right["file_id_r"])
-        .drop("file_id_l", "file_id_r")
-    )
-
-
-def _name_gate(cfg: ScoringConfig) -> Column:
+def duplicate_decision(cfg: ScoringConfig | None = None) -> Column:
+    """THE duplicate decision rule — the single implementation, applied
+    as a Catalyst predicate over the scored columns (fuzz_key, jw,
+    norm_lev, jaccard, exact_content). The cascade's contract makes it
+    null-safe by construction: jaccard is NULL iff the gate failed and
+    jw is NULL iff the cascade skipped it (norm_lev below the gate
+    margin), so every NULL comparison evaluates to NULL and the
+    coalesce(..., false) wrapper in score_candidates yields False —
+    never a false positive from a never-computed score (NaN, by
+    contrast, orders as the LARGEST double in Spark, which is why the
+    kernel's NaN markers are normalized to NULL first)."""
+    cfg = cfg or ScoringConfig()
     return (
         F.col("exact_content")
-        | (F.col("fuzz_key") > cfg.fuzz_threshold)
-        | ((F.col("jw") >= cfg.min_jaro_winkler) & (F.col("norm_lev") >= cfg.min_norm_lev))
+        | (
+            (F.col("fuzz_key") > cfg.fuzz_threshold)
+            & (F.col("jaccard") >= cfg.min_token_jaccard)
+        )
+        | (
+            (F.col("jaccard") >= cfg.high_jaccard)
+            & (F.col("jw") >= cfg.min_jaro_winkler)
+            & (F.col("norm_lev") >= cfg.min_norm_lev)
+        )
     )
 
 
-SCORED_SCHEMA = (
+#: Arrow kernel output: scores only — the is_dup decision is appended
+#: Catalyst-side by score_candidates via duplicate_decision(), so there
+#: is exactly ONE copy of the decision rule in the repo.
+_KERNEL_SCHEMA = (
     "left_id string, right_id string, fuzz_key int, jw double, norm_lev double, "
-    "jaccard double, exact_content boolean, gate_passed boolean, is_dup boolean"
+    "jaccard double, exact_content boolean, gate_passed boolean"
 )
+
+SCORED_SCHEMA = _KERNEL_SCHEMA + ", is_dup boolean"
 
 
 def score_candidates(
@@ -208,8 +210,8 @@ def score_candidates(
         )
     )
 
-    fuzz_th, min_jac = cfg.fuzz_threshold, cfg.min_token_jaccard
-    min_jw, min_lev, high_jac = cfg.min_jaro_winkler, cfg.min_norm_lev, cfg.high_jaccard
+    fuzz_th = cfg.fuzz_threshold
+    min_jw, min_lev = cfg.min_jaro_winkler, cfg.min_norm_lev
 
     def _list_views(arr: pa.Array):
         """Offsets + flat values of a list column as numpy views —
@@ -261,14 +263,6 @@ def score_candidates(
                     continue
                 inter = np.intersect1d(x, y, assume_unique=True).size
                 jac[i] = inter / (x.size + y.size - inter)
-            with np.errstate(invalid="ignore"):
-                is_dup = exact | (
-                    gate
-                    & (
-                        ((fuzz > fuzz_th) & (jac >= min_jac))
-                        | ((jac >= high_jac) & (jw >= min_jw) & (lev >= min_lev))
-                    )
-                )
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0),  # left_id: zero-copy pass-through
@@ -279,7 +273,6 @@ def score_candidates(
                     pa.array(jac),  # pyarrow maps NaN -> NaN, nulled below
                     pa.array(exact),
                     pa.array(gate),
-                    pa.array(is_dup),
                 ],
                 names=[
                     "left_id",
@@ -290,51 +283,22 @@ def score_candidates(
                     "jaccard",
                     "exact_content",
                     "gate_passed",
-                    "is_dup",
                 ],
             )
 
-    scored = joined.mapInArrow(run, schema=SCORED_SCHEMA)
+    scored = joined.mapInArrow(run, schema=_KERNEL_SCHEMA)
     # NaN marks "gated out" (jaccard: gate not passed; jw: cascade skipped
     # it because norm_lev < 0.8); normalize to NULL (Spark orders NaN as
-    # the LARGEST double — a raw NaN would pass >= thresholds downstream)
-    return scored.withColumn(
+    # the LARGEST double — a raw NaN would pass >= thresholds downstream).
+    # is_dup is then Catalyst — the one decision-rule implementation.
+    # Equivalence with the old in-kernel numpy rule: jaccard is non-NULL
+    # only where the gate passed, so the explicit `gate &` factor is
+    # redundant; a NULL score fails every comparison exactly as NaN
+    # failed the numpy >= checks.
+    scored = scored.withColumn(
         "jaccard", F.when(F.isnan("jaccard"), F.lit(None)).otherwise(F.col("jaccard"))
     ).withColumn("jw", F.when(F.isnan("jw"), F.lit(None)).otherwise(F.col("jw")))
-
-
-def score_pairs(pairs_with_features: DataFrame, cfg: ScoringConfig | None = None) -> DataFrame:
-    """Legacy single-phase scorer over pre-joined wide rows (kept for
-    API compatibility and tests; the pipeline uses score_candidates).
-    Computes the same columns; jaccard from the token string arrays."""
-    cfg = cfg or ScoringConfig()
-    n_inter = F.size(F.array_intersect("tokens_l", "tokens_r"))
-    n_union = F.size(F.array_union("tokens_l", "tokens_r"))
-    jaccard = F.when(n_union == 0, F.lit(1.0)).otherwise(n_inter / n_union)
-    scored = (
-        pairs_with_features.withColumn(
-            "_ns", name_scores_udf(F.col("norm_name_l"), F.col("norm_name_r"))
-        )
-        .withColumn("fuzz_key", F.col("_ns.fuzz_key"))
-        .withColumn("jw", F.col("_ns.jw"))
-        .withColumn("norm_lev", F.col("_ns.norm_lev"))
-        .drop("_ns")
-        .withColumn("jaccard", jaccard)
-        .withColumn("exact_content", F.col("content_sha256_l") == F.col("content_sha256_r"))
-    )
-    return scored.withColumn(
-        "is_dup",
-        F.col("exact_content")
-        | (
-            (F.col("fuzz_key") > cfg.fuzz_threshold)
-            & (F.col("jaccard") >= cfg.min_token_jaccard)
-        )
-        | (
-            (F.col("jaccard") >= cfg.high_jaccard)
-            & (F.col("jw") >= cfg.min_jaro_winkler)
-            & (F.col("norm_lev") >= cfg.min_norm_lev)
-        ),
-    )
+    return scored.withColumn("is_dup", F.coalesce(duplicate_decision(cfg), F.lit(False)))
 
 
 def matched_pairs(scored: DataFrame) -> DataFrame:

@@ -364,8 +364,8 @@ def w3_collision_numbering(spark, sf):
     "w1_sessionize",
     """SELECT user_id, session_id, count(*) AS n_events
        FROM (SELECT user_id, ts,
-                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              FROM (SELECT user_id, ts, event_id,
                           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) > INTERVAL 30 MINUTE
