@@ -121,8 +121,13 @@ def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query (tables region
     nation customer supplier part orders lineitem events documents
-    embeddings are pre-registered views). Sketch-based / iterative ops
-    (dedup_minhash_lsh, dedup_simhash, ann_lsh_topk,
-    er_pipeline_clusters, er_incremental_clusters) are intentionally
-    omitted -> rows-only check."""
+    embeddings are pre-registered views). Sketch-based / seeded /
+    full-fuzzy-pipeline ops (approx_distinct_parts, dedup_minhash_lsh,
+    ann_lsh_topk, ann_ivf_topk, er_pipeline_clusters,
+    er_incremental_clusters) are intentionally omitted -> rows-only
+    check; tests/test_entry_contract.py pins this set so a regression
+    that silently drops an oracle fails a test instead of passing
+    rows-only. The CC/clustering core itself IS value-checked via
+    er_deterministic_clusters (WITH RECURSIVE oracle), and
+    dedup_simhash is value-checked via md5-replayable token hashes."""
     return dict(_q.oracle_sql())

@@ -192,14 +192,21 @@ def dedup_minhash_lsh(spark, sf):
     ).orderBy("left_doc", "right_doc")
 
 
+def _md5_token_hash(token: str) -> int:
+    """64-bit token hash: first 8 bytes of md5, little-endian — exactly
+    DuckDB's ``md5_number_upper``, so the whole SimHash pipeline is
+    replayable as oracle SQL (the previous blake2b hash was not)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "little")
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (numpy bit-bucket voting)."""
+    """64-bit SimHash over md5 token hashes (per-doc reference version —
+    the unit-test oracle for the batched kernel below)."""
     if not tokens:
         return 0
-    hs = np.array(
-        [np.uint64(int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "big")) for t in tokens],
-        dtype=np.uint64,
-    )
+    hs = np.array([_md5_token_hash(t) for t in tokens], dtype=np.uint64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     sig = np.uint64(0)
@@ -208,20 +215,112 @@ def simhash64(tokens: list[str]) -> int:
     return int(sig)
 
 
-@register("dedup_simhash", None)  # sketch-based: rows-only driver check
+def simhash_batch(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized SimHash over a batch of texts. Returns (sig int64
+    view, n_tokens int64).
+
+    Hashing is per DISTINCT token of the batch (np.unique + one md5 per
+    unique token, indexed back through the inverse permutation), not per
+    token occurrence — the corpus token distribution is Zipfian, so this
+    removes almost all of the per-element Python hashing the old per-doc
+    loop paid. Bit voting is chunked numpy (add.reduceat over per-doc
+    segments), ~50k tokens per chunk to bound the (tokens x 64) int8
+    intermediate."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    n_tok = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+    n_docs = len(tok_lists)
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    if n_tok.sum() == 0:
+        return sigs.astype(np.int64), n_tok
+    flat = np.array([tok for ts in tok_lists for tok in ts], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.fromiter(
+        (_md5_token_hash(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    h = uh[inv]
+    bit_idx = np.arange(64, dtype=np.uint64)
+    # chunk docs so the (chunk_tokens x 64) sign matrix stays ~3 MB
+    doc_ids_nonempty = np.flatnonzero(n_tok)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=starts[1:])
+    chunk: list[int] = []
+    chunk_tok = 0
+
+    def flush():
+        nonlocal chunk, chunk_tok
+        if not chunk:
+            return
+        segs = [h[starts[i] : starts[i + 1]] for i in chunk]
+        offsets = np.zeros(len(segs), dtype=np.int64)
+        np.cumsum([len(s) for s in segs[:-1]], out=offsets[1:])
+        hc = np.concatenate(segs)
+        signs = (((hc[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        votes = np.add.reduceat(signs.astype(np.int32), offsets, axis=0)
+        packed = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
+        sigs[np.asarray(chunk)] = packed
+        chunk, chunk_tok = [], 0
+
+    for i in doc_ids_nonempty:
+        chunk.append(int(i))
+        chunk_tok += int(n_tok[i])
+        if chunk_tok >= 50_000:
+            flush()
+    flush()
+    return sigs.astype(np.int64), n_tok
+
+
+#: SimHash near-dup Hamming threshold; 4x16-bit banding is complete for
+#: d <= 3 (pigeonhole: 3 differing bits cannot touch all 4 bands).
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "dedup_simhash",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '')) AS tok
+         FROM documents
+       ),
+       th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+       bits AS (
+         SELECT doc_id, b,
+                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bs
+         GROUP BY doc_id, b
+       ),
+       ham AS (
+         SELECT a.doc_id AS left_doc, c.doc_id AS right_doc,
+                sum(CASE WHEN (a.vote > 0) <> (c.vote > 0) THEN 1 ELSE 0 END) AS hamming
+         FROM bits a JOIN bits c ON a.b = c.b AND a.doc_id < c.doc_id
+         GROUP BY a.doc_id, c.doc_id
+       )
+       SELECT left_doc, right_doc, CAST(hamming AS INTEGER) AS hamming
+       FROM ham WHERE hamming <= 3 ORDER BY left_doc, right_doc""",
+)
 def dedup_simhash(spark, sf):
     """SimHash fingerprints + near-dup pairs at Hamming distance <= 3,
     banded on 16-bit chunks (a hash with d<=3 differing bits shares at
     least one of 4 16-bit bands — standard simhash blocking), so the
-    join is an equi-join, never a cross product."""
+    join is an equi-join, never a cross product. The md5-derived token
+    hash makes the whole pipeline DuckDB-replayable: the oracle computes
+    the same per-bit votes and checks ALL pairs at Hamming <= 3, which
+    banding reproduces exactly (completeness at d<=3), so this is a
+    value-checked query, not rows-only. Token-empty documents are
+    excluded on both sides (they carry no content signal; sig=0 pairs of
+    unrelated empty docs would be noise)."""
     d = _t(spark, sf, "documents")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [simhash64((t or "").lower().split()) for t in pdf["text"]]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": np.array(sigs, dtype=np.uint64).astype(np.int64)})
+            sig, n_tok = simhash_batch(pdf["text"])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sig, "n_tokens": n_tok})
 
-    sigs = d.select("doc_id", "text").mapInPandas(compute, "doc_id long, sig long")
+    sigs = (
+        d.select("doc_id", "text")
+        .mapInPandas(compute, "doc_id long, sig long, n_tokens long")
+        .filter(F.col("n_tokens") > 0)
+    )
     banded = sigs.select(
         "doc_id",
         "sig",
@@ -235,8 +334,10 @@ def dedup_simhash(spark, sf):
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("left_doc") < F.col("right_doc"))
         .dropDuplicates(["left_doc", "right_doc"])
-        .withColumn("hamming", F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))))
-        .filter(F.col("hamming") <= 3)
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))).cast("int")
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     return pairs.select("left_doc", "right_doc", "hamming").orderBy("left_doc", "right_doc")
 

@@ -885,3 +885,91 @@ def f7_format_duration(spark, sf):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@register(
+    "er_deterministic_clusters",
+    """WITH RECURSIVE shingles AS (
+         SELECT DISTINCT d.doc_id, d.lang, d.source,
+                substring(d.text, g.i, 3) AS sh
+         FROM documents d,
+              LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 2, 1))) AS i) g
+       ),
+       kept AS (
+         SELECT s.* FROM shingles s
+         JOIN (SELECT lang, source, sh FROM shingles
+               GROUP BY lang, source, sh
+               HAVING count(*) <= 100) ok
+           ON s.lang = ok.lang AND s.source = ok.source AND s.sh = ok.sh
+       ),
+       pair_inter AS (
+         SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+         FROM kept a JOIN kept b
+           ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+       ),
+       sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       jac_edges AS (
+         SELECT p.u, p.v
+         FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.u
+                           JOIN sizes sb ON sb.doc_id = p.v
+         WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.4
+       ),
+       content_edges AS (
+         SELECT least(d.doc_id, m.root) AS u, greatest(d.doc_id, m.root) AS v
+         FROM documents d
+         JOIN (SELECT sha256(text) AS fp, min(doc_id) AS root
+               FROM documents GROUP BY sha256(text)) m
+           ON sha256(d.text) = m.fp
+         WHERE d.doc_id <> m.root
+       ),
+       edges AS (SELECT u, v FROM jac_edges UNION SELECT u, v FROM content_edges),
+       sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       cc(node, comp) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT s.v, cc.comp FROM cc JOIN sym s ON s.u = cc.node
+       ),
+       labels AS (SELECT node, min(comp) AS entity_id FROM cc GROUP BY node)
+       SELECT entity_id, count(*) AS n_members
+       FROM labels GROUP BY entity_id HAVING count(*) > 1
+       ORDER BY entity_id""",
+)
+def er_deterministic_clusters(spark, sf):
+    """Gate-checked flagship core: block -> score -> transitively
+    cluster, with every stage DuckDB-replayable. Edges come from the two
+    deterministic channels — exact content (sha256 star to the min doc
+    id) and character-3-gram Jaccard >= 0.4 with the same DF cut as
+    dedup_ngram_jaccard — and are closed transitively by the
+    large-star/small-star connected-components loop. The oracle replays
+    the identical edges in SQL and closes them with a WITH RECURSIVE
+    label propagation whose label is the component minimum: exactly
+    connected_components' contract (entity_id = min member id). This
+    value-checks the iterative CC operator itself against an
+    independent implementation — the fuzzy (MinHash/rungroup) channels
+    of the full er_pipeline stay rows-only by design."""
+    from music_dedupe_spark.operators.clustering import connected_components
+    from music_dedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    jac_edges = ngram_jaccard_pairs(d).select(
+        F.col("left_doc").alias("left_id"), F.col("right_doc").alias("right_id")
+    )
+    roots = d.groupBy(F.sha2("text", 256).alias("fp")).agg(F.min("doc_id").alias("root"))
+    content_edges = (
+        d.select(F.sha2("text", 256).alias("fp"), "doc_id")
+        .join(roots, "fp")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(
+            F.least("doc_id", "root").alias("left_id"),
+            F.greatest("doc_id", "root").alias("right_id"),
+        )
+    )
+    assignment = connected_components(jac_edges.unionByName(content_edges))
+    return (
+        assignment.groupBy("entity_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("entity_id")
+    )

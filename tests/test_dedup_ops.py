@@ -1,0 +1,62 @@
+"""Unit tests for the dedup operator kernels (simhash vectorization +
+oracle-hash parity). The end-to-end Spark-vs-DuckDB value check for
+dedup_simhash runs in test_entry_contract.py; these pin the kernel
+invariants the oracle relies on."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from music_dedupe_spark.operators.dedup import (
+    _md5_token_hash,
+    simhash64,
+    simhash_batch,
+)
+
+
+def test_md5_token_hash_matches_duckdb_md5_number_upper():
+    """DuckDB's md5_number_upper(t) is the first 8 md5 bytes read
+    little-endian; the kernel must produce bit-identical hashes or the
+    oracle SQL diverges."""
+    import duckdb
+
+    toks = ["hello", "", "key", "agg row", "doc_00042", "ß"]
+    con = duckdb.connect()
+    for t in toks:
+        (got,) = con.execute("SELECT md5_number_upper(?)", [t]).fetchone()
+        assert _md5_token_hash(t) == got, t
+
+
+def test_simhash_batch_matches_per_doc_reference():
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = []
+    for _ in range(40):
+        n = rng.randint(0, 30)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    texts += ["", "   ", "single", "a a a a b"]
+    sigs, n_tok = simhash_batch(pd.Series(texts))
+    for t, s, n in zip(texts, sigs, n_tok):
+        toks = t.lower().split()
+        assert n == len(toks)
+        assert int(np.uint64(s)) == simhash64(toks), t
+
+
+def test_simhash_batch_chunking_boundary():
+    """Docs spanning the 50k-token flush boundary must get the same
+    signatures as unchunked processing (reduceat segment bookkeeping)."""
+    texts = ["alpha beta gamma " * 20000, "alpha beta delta " * 3, "x y z"]
+    sigs, _ = simhash_batch(pd.Series(texts))
+    for t, s in zip(texts, sigs):
+        assert int(np.uint64(s)) == simhash64(t.lower().split())
+
+
+def test_simhash_duplicate_tokens_vote_multiply():
+    """SimHash weights votes by occurrence — repeated tokens are NOT
+    deduplicated before voting (only the hashing is factorized)."""
+    a = simhash64(["x", "y"])
+    b = simhash64(["x", "x", "x", "y"])
+    # with 3x 'x' votes, ties break toward x's bits: must equal hashing x alone
+    if a != b:
+        assert b == simhash64(["x"])

@@ -71,6 +71,27 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+#: The INTENDED rows-only inventory. Everything else must carry a DuckDB
+#: oracle: if an entry silently loses its oracle the driver would demote
+#: it to a rows-only check without anyone noticing — this test makes that
+#: a failure instead. Additions to this set need a by-design reason
+#: (sketch/seeded/iterative-fuzzy, documented in __spark_entry__.oracle_sql).
+EXPECTED_NO_ORACLE = {
+    "approx_distinct_parts",   # HLL sketch — approximate by definition
+    "dedup_minhash_lsh",       # seeded MinHash permutations, not SQL-replayable
+    "ann_lsh_topk",            # seeded SRP hyperplanes
+    "ann_ivf_topk",            # seeded k-means centroids
+    "er_pipeline_clusters",    # full fuzzy pipeline (MinHash + DP scorer);
+                               # its deterministic core is value-checked by
+                               # er_deterministic_clusters
+    "er_incremental_clusters", # same fuzzy machinery, delta mode
+}
+
+
+def test_no_oracle_set_is_pinned():
+    assert set(ALL) - set(SQL) == EXPECTED_NO_ORACLE
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
