@@ -102,13 +102,19 @@ def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = documents_as_files(spark, sf_dir)
     is_new = F.crc32("path") % 2 == 1
-    # LSH off for the gate demo: the delta-blocking/star-CC machinery is
-    # what this entry demonstrates, and the LSH signature pass (run
-    # twice: base + delta) dominates wall time at gate scale. The
-    # full-recall equality property is covered by test_incremental_er.
-    cfg = PipelineConfig(use_lsh=False)
+    # LSH ON, fed by the base run's signature store: the delta pass
+    # hashes only the NEW half's content (minhash_sig_store →
+    # existing_signatures), which is the production configuration the
+    # O(|new|) claim is about.
+    cfg = PipelineConfig()
     base = run_pipeline(files.filter(~is_new), cfg)
-    inc = incremental_link(files.filter(is_new), base["features"], base["clusters"], cfg)
+    inc = incremental_link(
+        files.filter(is_new),
+        base["features"],
+        base["clusters"],
+        cfg,
+        existing_signatures=base["minhash_sig_store"],
+    )
     return (
         inc["clusters"]
         .groupBy("entity_id")

@@ -156,10 +156,15 @@ def minhash_signatures(
     shingle_k: int = 7,
     seed: int = 1,
     content_col: str = "content",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(file_id, sig: array<long>) — MinHash signature per row, computed
-    in Arrow batches with numpy (one (n_shingles x num_perm) broadcasted
-    min per row; no per-row Python in the Spark plan)."""
+    """(file_id, *passthrough, sig: array<long>) — MinHash signature per
+    row, computed in Arrow batches with numpy (one (n_shingles x
+    num_perm) broadcasted min per row; no per-row Python in the Spark
+    plan). ``passthrough`` carries extra string columns (e.g.
+    content_sha256) through the kernel so callers can build a sha-keyed
+    signature store as a pure projection — no join back, and crucially
+    no shuffle of the content column."""
     a, b = _minhash_params(num_perm, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,10 +202,19 @@ def minhash_signatures(
                 if chunk_size >= 30_000:
                     flush()
             flush()
-            yield pd.DataFrame({"file_id": pdf["file_id"], "sig": sigs})
+            out = {"file_id": pdf["file_id"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["sig"] = sigs
+            yield pd.DataFrame(out)
 
-    return df.select("file_id", content_col).mapInPandas(
-        compute, schema="file_id string, sig array<long>"
+    schema = (
+        "file_id string, "
+        + "".join(f"{c} string, " for c in passthrough)
+        + "sig array<long>"
+    )
+    return df.select("file_id", *passthrough, content_col).mapInPandas(
+        compute, schema=schema
     )
 
 
@@ -212,6 +226,7 @@ def minhash_lsh_pairs(
     seed: int = 1,
     band_cap: int = 200,
     channel: str = "minhash_lsh",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_perm/bands`` rows; hash each band to a bucket key; equal band
@@ -219,10 +234,17 @@ def minhash_lsh_pairs(
     = 0.42 Jaccard — generous recall; precision comes from the scorer.
 
     Buckets above ``band_cap`` are star-linked instead of pair-exploded
-    (same skew bound as exact_key_pairs)."""
+    (same skew bound as exact_key_pairs).
+
+    ``sigs``: optional precomputed ``(file_id, sig)`` signatures (e.g.
+    run_pipeline's signature store, or incremental_link's store-hit ∪
+    delta-computed union) — signatures are deterministic per content for
+    fixed (num_perm, shingle_k, seed), so reusing them is exact. When
+    omitted they are computed from ``df``'s content column."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, shingle_k, seed)
+    if sigs is None:
+        sigs = minhash_signatures(df, num_perm, shingle_k, seed)
     banded = sigs.select(
         "file_id",
         F.posexplode(

@@ -17,10 +17,38 @@ Candidate generation only pairs ``new × (new ∪ existing)``:
   the common case), so the big side is scanned once and pruned early.
 
 Exactness: running ``incremental_link`` over a delta produces the SAME
-clusters as re-running the full pipeline over old ∪ new, because every
-full-run matched pair is either old×old (⊆ closure of the existing
-assignment), or touches a new file (⊆ the delta candidate set) —
-tests/test_incremental_er.py asserts label-for-label equality.
+clusters as re-running the full pipeline over old ∪ new
+(tests/test_incremental_er.py asserts label-for-label equality), under
+these per-channel arguments:
+
+- exact-content: a sha group's star edges encode the same partition
+  whatever the root, and untouched groups are already closed in the
+  existing assignment — exact.
+- exact-key: the delta prunes to WHOLE blocks containing a new key, so
+  capped/salted sub-block pairing inside touched blocks is bit-identical
+  to the full run; untouched blocks have the same rows as the previous
+  run, hence the same sampled pairs, all already closed — exact, EXCEPT
+  the corner where new rows grow a block across the cap boundary and the
+  resalting re-samples old×old pairs the previous run never scored (a
+  recall-sampling difference inside one block, bounded by the cap).
+- sorted-neighborhood: run-group heads depend on global key order, so a
+  new key can regroup old×old neighbors downstream of it. The delta
+  therefore re-runs the (narrow, two-column) global neighborhood pass
+  over old ∪ new and keeps every pair not already inside one existing
+  entity — same-entity pairs are union-redundant in CC, so dropping
+  them is cluster-exact while keeping the re-scored volume near the
+  delta's neighborhood.
+- MinHash-LSH: signatures are deterministic per content and read from
+  the ``existing_signatures`` store (only the delta's content is
+  hashed — O(|new|), the VERDICT r2 gap); kept pairs are new-touching.
+  Bucket membership of old rows is unchanged, EXCEPT the same cap
+  corner as exact-key (a bucket crossing band_cap flips old×old pairs
+  from all-pairs to star sampling).
+
+The two cap-boundary corners are recall-sampling differences of the
+FUZZY channels, not correctness bugs in the deterministic ones; both
+runs stay valid pipelines and the fixture equality test covers the
+common case exactly.
 """
 
 from __future__ import annotations
@@ -28,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from music_dedupe_spark.operators import blocking, clustering, scoring
+from music_dedupe_spark.operators import blocking, clustering, rungroup, scoring
 
 
 def _touching_new(pairs: DataFrame, new_feats: DataFrame) -> DataFrame:
@@ -83,21 +111,51 @@ def _delta_content_star(new_feats: DataFrame, all_feats: DataFrame) -> DataFrame
     )
 
 
+def _not_same_entity(pairs: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Drop pairs whose two members already share an existing entity —
+    union-redundant in the CC pass (the star edges encode that closure),
+    so dropping them is cluster-exact and prunes the bulk of stable
+    old×old neighborhood pairs. Pairs with any unassigned member
+    (every new file) are kept."""
+    el = assignment.select(
+        F.col("member_id").alias("left_id"), F.col("entity_id").alias("_el")
+    )
+    er = assignment.select(
+        F.col("member_id").alias("right_id"), F.col("entity_id").alias("_er")
+    )
+    return (
+        pairs.join(el, "left_id", "left")
+        .join(er, "right_id", "left")
+        .filter(
+            F.col("_el").isNull() | F.col("_er").isNull() | (F.col("_el") != F.col("_er"))
+        )
+        .drop("_el", "_er")
+    )
+
+
 def incremental_link(
     new_files: DataFrame,
     existing_features: DataFrame,
     existing_assignment: DataFrame,
     cfg=None,
+    existing_signatures: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Resolve ``new_files`` against an existing corpus.
 
     Inputs: raw new files (repo, path, commit, lang, content); the
     existing ingested features table; the existing (member_id,
-    entity_id) assignment (e.g. the previous run's ``clusters``).
+    entity_id) assignment (e.g. the previous run's ``clusters``); and,
+    when ``cfg.use_lsh``, the previous run's ``minhash_sig_store``
+    — (content_sha256, sig) — so only the DELTA's content is hashed.
+    Without a store the existing side's signatures are recomputed
+    (correct, but O(corpus) — pass the store in production).
 
     Returns dict with ``features`` (new rows only), ``candidate_pairs``
-    (delta), ``scored_pairs``, and ``clusters`` — the FULL updated
-    assignment covering old and new members.
+    (delta), ``scored_pairs``, ``clusters`` — the FULL updated
+    assignment covering old and new members —, the updated
+    ``minhash_sig_store``, and ``metrics`` (plain dict; includes
+    ``n_signatures_computed``, which tests assert equals the number of
+    distinct NEW contents when the store covers the old corpus).
     """
     from music_dedupe_spark.pipeline import PipelineConfig, ingest
 
@@ -112,16 +170,72 @@ def incremental_link(
         _touching_new(_delta_content_star(new_feats, all_feats), new_feats),
         _delta_exact_key_pairs(new_feats, all_feats, cap=cfg.block_cap),
     ]
+
+    # sorted-neighborhood channel (module docstring: group heads shift
+    # with the global order, so this channel cannot be pruned to
+    # new-touching pairs without losing full-run pairs). The pass itself
+    # is narrow — (key, id) only, one range shuffle — and the same
+    # corpus-size gate as the batch pipeline applies.
+    n_all = cfg.n_rows_hint
+    if n_all is None:
+        n_all = all_feats.count()
+    if n_all <= cfg.rungroup_max_rows:
+        shuffle_n = int(all_feats.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        rg_parts = min(shuffle_n, max(1, n_all // 50_000 + 1))
+        rg = rungroup.sorted_run_groups(
+            all_feats,
+            key_col="norm_name",
+            threshold=cfg.rungroup_threshold,
+            num_partitions=rg_parts,
+        )
+        rg_pairs = (
+            rungroup.group_pairs(rg, max_group_size=cfg.block_cap)
+            .withColumn("channel", F.lit("sorted_neighborhood"))
+            .select("left_id", "right_id", "channel")
+        )
+        channels.append(_not_same_entity(rg_pairs, existing_assignment))
+
+    sig_store = existing_signatures
+    metrics: dict[str, int] = {}
     if cfg.use_lsh:
-        # LSH recall channel over new ∪ existing; restricted to pairs
-        # touching a new file. Signatures for the existing side would be
-        # cached/stored in production (they are deterministic per sha);
-        # here they recompute.
+        # hash ONLY content the store does not cover (the delta, plus any
+        # old rows missing from a stale store); stored signatures are
+        # exact for fixed (num_perm, shingle_k, seed).
+        narrow = all_feats.select("file_id", "content_sha256")
+        if sig_store is not None:
+            # membership decided on the NARROW (file_id, sha) projection;
+            # only the (small) miss set's content rows are then pulled by
+            # a semi-join on file_id — the corpus content never shuffles
+            # by sha just to discover it is already covered.
+            miss_ids = narrow.join(
+                sig_store.select("content_sha256"), "content_sha256", "left_anti"
+            ).select("file_id")
+            to_hash = all_feats.join(miss_ids, "file_id", "left_semi")
+        else:
+            to_hash = all_feats
+        # one representative per distinct missing content — to_hash is the
+        # DELTA, so this dropDuplicates moves only O(|new|) content — and
+        # the sha rides through the kernel so the store is a projection
+        reps = to_hash.dropDuplicates(["content_sha256"])
+        rep_sigs = blocking.minhash_signatures(
+            reps,
+            cfg.minhash_num_perm,
+            cfg.shingle_k,
+            seed=1,
+            passthrough=("content_sha256",),
+        )
+        delta_store = rep_sigs.select("content_sha256", "sig").persist()
+        metrics["n_signatures_computed"] = delta_store.count()
+        sig_store = (
+            delta_store if sig_store is None else sig_store.unionByName(delta_store)
+        )
+        all_sigs = narrow.join(sig_store, "content_sha256").select("file_id", "sig")
         lsh = blocking.minhash_lsh_pairs(
             all_feats,
             num_perm=cfg.minhash_num_perm,
             bands=cfg.minhash_bands,
             shingle_k=cfg.shingle_k,
+            sigs=all_sigs,
         )
         channels.append(_touching_new(lsh, new_feats))
     candidate_pairs = blocking.union_channels(*channels).persist()
@@ -150,4 +264,6 @@ def incremental_link(
         "candidate_pairs": candidate_pairs,
         "scored_pairs": scored,
         "clusters": clusters,
+        "minhash_sig_store": sig_store,
+        "metrics": metrics,
     }

@@ -13,7 +13,12 @@ open session per user:
   timeout at ``last_ts + gap``: when the watermark passes it, no
   in-order event can extend the session any more, so the timeout
   callback emits it and clears the state;
-- a late (within-watermark, behind the open session) event is absorbed
+- an event OLDER than the current watermark is dropped (Spark's
+  ``applyInPandasWithState`` does not filter late input rows itself —
+  verified empirically; tests/test_streaming.py pins it — so the
+  operator enforces the same contract the built-in stateful operators
+  have: data behind the watermark is gone);
+- a late-but-within-watermark event behind the open session is absorbed
   into the open session when it lies within ``gap`` of its window,
   else emitted as a ``late`` singleton session — the documented
   approximation of O(1) summary state (exact replay would need the
@@ -78,6 +83,23 @@ def _sessionize_group(gap_us: int):
         ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
         # event time as int64 microseconds (pandas datetime64[ns] -> us)
         us = (ts.astype("int64") // 1_000).to_numpy()
+        # engine-contract late filtering: applyInPandasWithState hands us
+        # pre-watermark rows verbatim (unlike the built-in stateful ops);
+        # drop them here so "late" below always means within-watermark
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us > 0:
+            us = us[us >= wm_us]
+        if us.size == 0:
+            if state.exists:
+                # nothing survived the cut: keep the open session and its
+                # pending timeout alive (timeouts are cleared per
+                # invocation unless re-armed)
+                _, last_us, _ = state.get
+                timeout_ms = last_us // 1_000 + gap_us // 1_000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:

@@ -219,12 +219,15 @@ def test_stateful_sessionize_late_event(spark, tmp_path):
         ).to_parquet(src / name, coerce_timestamps="us")
         _time.sleep(1.05)
 
-    # batch 1 opens a session at [12:00, 12:01]
+    # batch 1 opens a session at [12:00, 12:01]; watermark advances to
+    # 11:01 (1h delay) for subsequent batches
     write("f1.parquet", [(1, t0), (1, t0 + m)])
-    # batch 2: one absorbable late event (11:50, within gap of start) and
-    # one far-late event (08:00, its own singleton), plus an in-order
+    # batch 2: one absorbable late event (11:50, within gap of the
+    # session start), one within-watermark-but-unabsorbable event
+    # (11:10 — newer than the 11:01 watermark, but more than gap behind
+    # the session start: its own 'late' singleton), plus an in-order
     # event extending the session to 12:10
-    write("f2.parquet", [(1, t0 - 10 * m), (1, t0 - 240 * m), (1, t0 + 10 * m)])
+    write("f2.parquet", [(1, t0 - 10 * m), (1, t0 - 50 * m), (1, t0 + 10 * m)])
     # advance watermark, then trigger the timeout
     write("f3.parquet", [(99, t0 + pd.Timedelta(days=30))])
     write("f4.parquet", [(98, t0 + pd.Timedelta(days=30, hours=1))])
@@ -244,10 +247,76 @@ def test_stateful_sessionize_late_event(spark, tmp_path):
 
     us = lambda td: int(td.value // 1_000)
     assert rows == [
-        (us(t0 - 240 * m), us(t0 - 240 * m), 1, "late"),
+        (us(t0 - 50 * m), us(t0 - 50 * m), 1, "late"),
         # main session: start extended down to 11:50 by the absorbed
         # late event, end NEVER regressed, 4 events total
         (us(t0 - 10 * m), us(t0 + 10 * m), 4, "timeout"),
     ]
     for start, end, *_ in rows:
         assert end >= start
+
+
+def test_stateful_sessionize_straddles_watermark(spark, tmp_path):
+    """Adversarial out-of-order batches STRADDLING the watermark: an
+    event older than the current watermark is dropped by the engine
+    (never reaches the state function — no session, no 'late' singleton),
+    while an out-of-order event NEWER than the watermark follows the
+    documented absorbed/late policy. This pins the boundary between
+    engine-level late-row filtering and the operator's own late policy."""
+    import time as _time
+
+    import pandas as pd
+
+    from music_dedupe_spark.streaming.sessionize import run_sessionize_on_directory
+
+    src = tmp_path / "straddle_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2026-02-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]}
+        ).to_parquet(src / name, coerce_timestamps="us")
+        _time.sleep(1.05)
+
+    # batch 1: user 1 opens a session at [12:00, 12:01]
+    write("f1.parquet", [(1, t0), (1, t0 + m)])
+    # batch 2: user 2 at 20:00 -> watermark (1h delay) advances to 19:00
+    # for SUBSEQUENT batches
+    write("f2.parquet", [(2, t0 + 8 * h)])
+    # batch 3 straddles that 19:00 watermark for user 1:
+    #   18:00 — OLDER than the watermark: the engine drops it
+    #   19:30 — newer than the watermark, in-order for user 1's state
+    #           (> last=12:01), gap > 30 min: closes [12:00,12:01] as
+    #           'gap' and opens a new session at 19:30
+    write("f3.parquet", [(1, t0 + 6 * h), (1, t0 + 7 * h + 30 * m)])
+    # advance the watermark far ahead, then fire the timeouts
+    write("f4.parquet", [(99, t0 + pd.Timedelta(days=30))])
+    write("f5.parquet", [(98, t0 + pd.Timedelta(days=30, hours=1))])
+
+    q = run_sessionize_on_directory(
+        spark, str(src), query_name="sess_straddle", gap_seconds=1800
+    )
+    try:
+        q.processAllAvailable()
+        rows = [
+            tuple(r)
+            for r in spark.sql(
+                "SELECT session_start_us, session_end_us, n_events, closed_by "
+                "FROM sess_straddle WHERE user_id = 1 ORDER BY session_start_us"
+            ).collect()
+        ]
+    finally:
+        q.stop()
+
+    us = lambda td: int(td.value // 1_000)
+    dropped = us(t0 + 6 * h)
+    # the pre-watermark event appears NOWHERE — not as a session member
+    # (no session covers 18:00), not as a 'late' singleton
+    assert rows == [
+        (us(t0), us(t0 + m), 2, "gap"),
+        (us(t0 + 7 * h + 30 * m), us(t0 + 7 * h + 30 * m), 1, "timeout"),
+    ]
+    assert all(not (start <= dropped <= end) for start, end, *_ in rows)
