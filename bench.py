@@ -124,15 +124,34 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
     """Materialize the probe input ONCE: features + a dense windowed
     candidate-pair set (|doc_id_l - doc_id_r| <= W within lang) from the
     sf corpus. Both parallelism levels then score the SAME pairs —
-    exactly the metric's unit of work (candidate-pairs-scored/sec)."""
+    exactly the metric's unit of work (candidate-pairs-scored/sec).
+
+    The probe corpus carries REALISTIC name-bearing paths: the blocking
+    key is synthesized from the document's own leading words plus the
+    doc number (~18-25 chars), matching the reference blocking key's
+    length distribution (music titles / real-world filenames), not a
+    9-char synthetic id. Key length sets the DP kernel's share of
+    per-pair work (the DP is O(len^2)), so an unrealistically short key
+    under-weights exactly the work the metric is defined over."""
     from pyspark.sql import functions as F
 
     from music_dedupe_spark.session import get_spark
-    import __spark_entry__ as entry_mod
     from music_dedupe_spark.pipeline import ingest
 
     spark = get_spark("bench-scaling-prep", cpus=CPUS)
-    feats = ingest(entry_mod.documents_as_files(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.format_string(
+            "docs/%s_doc%05d.txt",
+            F.concat_ws("_", F.slice(F.split(F.col("text"), " "), 1, 3)),
+            F.col("doc_id"),
+        ).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.lit("txt").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    feats = ingest(files)
     # replicate the input 3x so each timed run is ~3x longer (the ratio
     # was previously capped by the ~4 s per-job fixed floor: session +
     # stage scheduling, which does not shrink with cores and biases the
@@ -143,18 +162,25 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
     # unique-pair work. A per-replica name suffix keeps every replicated
     # row distinct after factorization, so reported throughput is honest
     # unique-pair throughput.
+    # length-preserving name perturbation ('doc' -> 'd1c' / 'd2c'): a
+    # suffix would lengthen every name and loosen the levenshtein ship
+    # gate (threshold scales with |l|+|r|), silently changing the probe's
+    # work mix (more gate survivors, more jaccard) between rounds.
     replicas = [feats]
     for rep in (1, 2):
         replicas.append(
             feats.withColumn("file_id", F.concat("file_id", F.lit(f"#r{rep}")))
-            .withColumn("norm_name", F.concat("norm_name", F.lit(f" zz{rep}")))
+            .withColumn(
+                "norm_name",
+                F.regexp_replace("norm_name", "_doc(\\d+)$", f"_d{rep}c$1"),
+            )
         )
     feats_all = replicas[0]
     for rf in replicas[1:]:
         feats_all = feats_all.unionByName(rf)
     feats_all.write.mode("overwrite").parquet(f"{work_dir}/features")
     ids = spark.read.parquet(f"{work_dir}/features").select(
-        F.regexp_extract("path", r"doc_(\d+)", 1).cast("long").alias("n"), "file_id"
+        F.regexp_extract("path", r"doc(\d+)\.txt$", 1).cast("long").alias("n"), "file_id"
     ).filter(~F.col("file_id").contains("#r"))
     l = ids.select(F.col("n").alias("nl"), F.col("file_id").alias("left_id"))
     r = ids.select(F.col("n").alias("nr"), F.col("file_id").alias("right_id"))
@@ -177,17 +203,24 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
     return n
 
 
-def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4) -> dict:
+def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4, reuse: bool = True) -> dict:
     """Score the materialized pair set at local[cpus] in a fresh process
     (one SparkContext per JVM). Runs the job ``runs`` times and reports
     the median of the steady-state (non-first) runs — this VM's wall
-    times vary +-30% and the first run pays python-worker spawn + JIT."""
+    times vary +-30% and the first run pays python-worker spawn + JIT.
+
+    ``reuse``: spark.python.worker.reuse. True is the measurement-honest
+    default: with reuse off, EVERY task of EVERY run pays a fresh python
+    worker spawn + numpy import, a fixed per-task cost that does not
+    shrink with cores and contaminates the 8->32 ratio. The rare
+    stuck-worker hang reuse can trigger is contained by the 900 s
+    timeout + retry below."""
     code = (
         "import json,sys,time,statistics; sys.path.insert(0, %r)\n"
         "from music_dedupe_spark.session import get_spark\n"
         "from music_dedupe_spark.operators import scoring\n"
         "spark = get_spark('bench-scaling', cpus=%r, extra_conf={\n"
-        "    'spark.python.worker.reuse': 'false',  # avoids a rare stuck-worker hang\n"
+        "    'spark.python.worker.reuse': %r,\n"
         "    'spark.python.worker.faulthandler.enabled': 'true'})\n"
         "feats = spark.read.parquet(%r + '/features')\n"
         "pairs = spark.read.parquet(%r + '/pairs')\n"
@@ -204,7 +237,7 @@ def _subprocess_scoring(cpus: str, work_dir: str, runs: int = 4) -> dict:
         "    secs.append(time.time() - t0)\n"
         "print('BENCH_RESULT ' + json.dumps("
         "{'sec': statistics.median(secs[1:]), 'first_sec': secs[0], 'all': secs, 'pairs': n}))\n"
-    ) % (REPO, cpus, work_dir, work_dir, runs)
+    ) % (REPO, cpus, "true" if reuse else "false", work_dir, work_dir, runs)
     last_err = ""
     for attempt in range(2):
         try:

@@ -238,7 +238,14 @@ def incremental_link(
             sigs=all_sigs,
         )
         channels.append(_touching_new(lsh, new_feats))
-    candidate_pairs = blocking.union_channels(*channels).persist()
+    candidate_pairs = blocking.union_channels(*channels)
+    # release operator-persisted subplans (banded LSH signatures) once the
+    # candidate stage is materialized — same discipline as run_pipeline
+    _cand_deps = getattr(candidate_pairs, "_mds_persisted", [])
+    candidate_pairs = candidate_pairs.persist()
+    candidate_pairs.count()
+    for _d in _cand_deps:
+        _d.unpersist()
 
     scored = scoring.score_candidates(candidate_pairs, all_feats, cfg.scoring).persist()
     delta_edges = scoring.matched_pairs(scored)

@@ -54,6 +54,33 @@ def test_group_pairs_small_side_broadcast(spark):
     assert has_broadcast_join(pairs)
 
 
+def test_scoring_cascade_joins_broadcast_when_features_small(spark, files_df):
+    """The 3-join featureization must plan as broadcast hash joins (no
+    sort-merge, no pair-side shuffle) when the feature table is small —
+    the regime every sf-scale test and the scaling probe run in. At
+    10^12 rows the features side exceeds any broadcast threshold and
+    AQE plans shuffle joins instead; this pins the small-dim plan so a
+    refactor can't silently put a sort or a pair-row exchange back."""
+    from music_dedupe_spark.operators.scoring import score_candidates
+    from music_dedupe_spark.pipeline import ingest
+
+    feats = ingest(files_df)
+    ids = feats.select("file_id")
+    pairs = (
+        ids.withColumnRenamed("file_id", "left_id")
+        .crossJoin(ids.withColumnRenamed("file_id", "right_id").limit(5))
+        .filter(F.col("left_id") < F.col("right_id"))
+    )
+    plan = (
+        score_candidates(pairs, feats)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_repo_partitioned_scan_prunes_partitions(spark, files_df, tmp_path):
     """P2 path-prefix scoping (ref scans under a path prefix,
     core.py:585-590) as PHYSICAL partition pruning: a repo-partitioned
