@@ -192,6 +192,22 @@ def dedup_minhash_lsh(spark, sf):
     ).orderBy("left_doc", "right_doc")
 
 
+import re
+
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def simhash_tokens(text: str) -> list[str]:
+    """Tokenize for SimHash exactly as the DuckDB oracle does: split on
+    ASCII whitespace runs (RE2 ``\\s+``) after lower(). Python's bare
+    ``str.split()`` also splits on UNICODE whitespace (NBSP, U+2028,
+    U+0085 ...), which RE2's ``\\s`` does not — one NBSP in a future
+    corpus would silently break the value-check, so the kernel pins the
+    ASCII semantics. (``lower()`` parity: both sides do Unicode simple
+    case folding; the fixtures are ASCII.)"""
+    return [t for t in _WS_ASCII.split((text or "").lower()) if t]
+
+
 def _md5_token_hash(token: str) -> int:
     """64-bit token hash: first 8 bytes of md5, little-endian — exactly
     DuckDB's ``md5_number_upper``, so the whole SimHash pipeline is
@@ -226,7 +242,7 @@ def simhash_batch(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
     loop paid. Bit voting is chunked numpy (add.reduceat over per-doc
     segments), ~50k tokens per chunk to bound the (tokens x 64) int8
     intermediate."""
-    tok_lists = [(t or "").lower().split() for t in texts]
+    tok_lists = [simhash_tokens(t) for t in texts]
     n_tok = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
     n_docs = len(tok_lists)
     sigs = np.zeros(n_docs, dtype=np.uint64)

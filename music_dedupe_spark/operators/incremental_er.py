@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from music_dedupe_spark.operators import blocking, clustering, rungroup, scoring
+from music_dedupe_spark.operators import blocking, clustering, scoring
 
 
 def _touching_new(pairs: DataFrame, new_feats: DataFrame) -> DataFrame:
@@ -174,25 +174,18 @@ def incremental_link(
     # sorted-neighborhood channel (module docstring: group heads shift
     # with the global order, so this channel cannot be pruned to
     # new-touching pairs without losing full-run pairs). The pass itself
-    # is narrow — (key, id) only, one range shuffle — and the same
-    # corpus-size gate as the batch pipeline applies.
-    n_all = cfg.n_rows_hint
-    if n_all is None:
-        n_all = all_feats.count()
-    if n_all <= cfg.rungroup_max_rows:
-        shuffle_n = int(all_feats.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        rg_parts = min(shuffle_n, max(1, n_all // 50_000 + 1))
-        rg = rungroup.sorted_run_groups(
-            all_feats,
-            key_col="norm_name",
-            threshold=cfg.rungroup_threshold,
-            num_partitions=rg_parts,
-        )
-        rg_pairs = (
-            rungroup.group_pairs(rg, max_group_size=cfg.block_cap)
-            .withColumn("channel", F.lit("sorted_neighborhood"))
-            .select("left_id", "right_id", "channel")
-        )
+    # is narrow — (key, id) only, one range shuffle. ONE shared
+    # implementation with the batch pipeline (pipeline.rungroup_channel)
+    # so gate/threshold/sizing can never drift between the two paths.
+    # The gate size is all_feats' OWN count — cfg.n_rows_hint must not
+    # be reused here: run_pipeline mutates it to the OLD corpus size,
+    # and gating old ∪ new on |old| would run the non-scaling channel
+    # past its ceiling (and diverge from what a full rerun does). The
+    # count also materializes the all_feats persist.
+    from music_dedupe_spark.pipeline import rungroup_channel
+
+    rg_pairs = rungroup_channel(all_feats, cfg, all_feats.count())
+    if rg_pairs is not None:
         channels.append(_not_same_entity(rg_pairs, existing_assignment))
 
     sig_store = existing_signatures

@@ -63,6 +63,39 @@ def ingest(files: DataFrame) -> DataFrame:
     return with_derived_columns(eligible_files(files))
 
 
+def rungroup_channel(
+    features: DataFrame, cfg: PipelineConfig, n_rows: int
+) -> DataFrame | None:
+    """The sorted-neighborhood candidate channel (J1), or None when the
+    corpus exceeds ``cfg.rungroup_max_rows`` (the channel's sequential
+    scan ceiling — the LSH channel carries fuzzy recall above it).
+
+    ONE implementation shared by the batch pipeline and
+    incremental_link: the incremental's label-identical-to-full-rerun
+    contract requires both paths to compute this channel with the same
+    gate, threshold, partition sizing, and group cap — a drift between
+    two copies would silently break the equality property.
+
+    Sizing: ~50k rows per sequential partition pass (Python O(rows)
+    per partition), clamped to the shuffle width.
+    """
+    if n_rows > cfg.rungroup_max_rows:
+        return None
+    shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rg_parts = min(shuffle_n, max(1, n_rows // 50_000 + 1))
+    rg = rungroup.sorted_run_groups(
+        features,
+        key_col="norm_name",
+        threshold=cfg.rungroup_threshold,
+        num_partitions=rg_parts,
+    )
+    return (
+        rungroup.group_pairs(rg, max_group_size=cfg.block_cap)
+        .withColumn("channel", F.lit("sorted_neighborhood"))
+        .select("left_id", "right_id", "channel")
+    )
+
+
 def generate_candidates(
     features: DataFrame, cfg: PipelineConfig, minhash_sigs: DataFrame | None = None
 ) -> DataFrame:
@@ -74,9 +107,6 @@ def generate_candidates(
         blocking.content_sha_star(features),
         blocking.exact_key_pairs(features, cap=cfg.block_cap),
     ]
-    # size the run-group scan: ~50k rows per sequential partition pass
-    # (Python O(rows) per partition), clamped to the shuffle width.
-    # Gate the channel by corpus size: see PipelineConfig.rungroup_max_rows.
     # An unset hint is COUNTED, not assumed small — skipping the gate for
     # unknown sizes would default huge corpora into the non-scaling
     # channel (run_pipeline always pre-sets the hint; this count only
@@ -84,20 +114,9 @@ def generate_candidates(
     n_rows = cfg.n_rows_hint
     if n_rows is None:
         n_rows = features.count()
-    if n_rows <= cfg.rungroup_max_rows:
-        shuffle_n = int(features.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        rg_parts = min(shuffle_n, max(1, (n_rows or 10**9) // 50_000 + 1))
-        rg = rungroup.sorted_run_groups(
-            features,
-            key_col="norm_name",
-            threshold=cfg.rungroup_threshold,
-            num_partitions=rg_parts,
-        )
-        channels.append(
-            rungroup.group_pairs(rg, max_group_size=cfg.block_cap).withColumn(
-                "channel", F.lit("sorted_neighborhood")
-            ).select("left_id", "right_id", "channel")
-        )
+    rg = rungroup_channel(features, cfg, n_rows)
+    if rg is not None:
+        channels.append(rg)
     if cfg.use_lsh:
         channels.append(
             blocking.minhash_lsh_pairs(

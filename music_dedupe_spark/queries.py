@@ -953,7 +953,8 @@ def er_deterministic_clusters(spark, sf):
     from music_dedupe_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    jac_edges = ngram_jaccard_pairs(d).select(
+    jac_pairs = ngram_jaccard_pairs(d)
+    jac_edges = jac_pairs.select(
         F.col("left_doc").alias("left_id"), F.col("right_doc").alias("right_id")
     )
     roots = d.groupBy(F.sha2("text", 256).alias("fp")).agg(F.min("doc_id").alias("root"))
@@ -966,7 +967,16 @@ def er_deterministic_clusters(spark, sf):
             F.greatest("doc_id", "root").alias("right_id"),
         )
     )
-    assignment = connected_components(jac_edges.unionByName(content_edges))
+    # materialize the (tiny) edge list eagerly, then release the ~10x-text
+    # shingle cache ngram_jaccard_pairs persisted — the CC loop and the
+    # caller's collect would otherwise keep re-reading (and the cache
+    # would pin memory for the rest of the shared session; the lineage
+    # cut also stops connected_components' all-nodes union from
+    # recomputing the shingle join after the unpersist).
+    edges = jac_edges.unionByName(content_edges).localCheckpoint()
+    for _d in getattr(jac_pairs, "_mds_persisted", []):
+        _d.unpersist()
+    assignment = connected_components(edges)
     return (
         assignment.groupBy("entity_id")
         .agg(F.count("*").alias("n_members"))

@@ -12,6 +12,7 @@ from music_dedupe_spark.operators.dedup import (
     _md5_token_hash,
     simhash64,
     simhash_batch,
+    simhash_tokens,
 )
 
 
@@ -38,7 +39,7 @@ def test_simhash_batch_matches_per_doc_reference():
     texts += ["", "   ", "single", "a a a a b"]
     sigs, n_tok = simhash_batch(pd.Series(texts))
     for t, s, n in zip(texts, sigs, n_tok):
-        toks = t.lower().split()
+        toks = simhash_tokens(t)
         assert n == len(toks)
         assert int(np.uint64(s)) == simhash64(toks), t
 
@@ -49,7 +50,29 @@ def test_simhash_batch_chunking_boundary():
     texts = ["alpha beta gamma " * 20000, "alpha beta delta " * 3, "x y z"]
     sigs, _ = simhash_batch(pd.Series(texts))
     for t, s in zip(texts, sigs):
-        assert int(np.uint64(s)) == simhash64(t.lower().split())
+        assert int(np.uint64(s)) == simhash64(simhash_tokens(t))
+
+
+def test_simhash_tokens_matches_duckdb_regexp_split():
+    """The kernel tokenizer must agree with the oracle's RE2 '\\s+' on
+    UNICODE whitespace too: python str.split() splits on NBSP/U+2028
+    etc., RE2 does not — the kernel pins the RE2 semantics."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        "a\xa0b",          # NBSP: ONE token under RE2
+        "a\u2028b c",     # LINE SEPARATOR
+        "a\x85b",          # NEL
+        "  a\tb\r\nc  ",   # plain ASCII whitespace
+        "",
+    ]
+    for s in cases:
+        (want,) = con.execute(
+            r"SELECT list_filter(regexp_split_to_array(lower(?), '\s+'), x -> x <> '')",
+            [s],
+        ).fetchone()
+        assert simhash_tokens(s) == want, repr(s)
 
 
 def test_simhash_duplicate_tokens_vote_multiply():
