@@ -138,10 +138,15 @@ def score_candidates(
     # property-checks the implication). Exact-content pairs skip
     # jaccard entirely, so they don't ship arrays either.
     # shas ride the pair joins only for the exact_content equality test:
-    # 32-byte unhex binaries halve that traffic vs 64-char hex strings
-    # with identical equality semantics
+    # a 16-byte unhexed PREFIX quarters that traffic vs 64-char hex
+    # strings. Equality of 128-bit prefixes is collision-safe for this
+    # purpose: a false exact_content needs two distinct contents whose
+    # sha256 agree in the first 128 bits among the CANDIDATE pairs —
+    # probability ~ n_pairs / 2^128, immaterial at any conceivable pair
+    # volume (10^18 pairs -> ~3e-21).
+    sha_prefix = F.unhex(F.substring("content_sha256", 1, 32))
     narrow_feats = features.select(
-        "file_id", "norm_name", F.unhex("content_sha256").alias("content_sha256")
+        "file_id", "norm_name", sha_prefix.alias("content_sha256")
     )
     left = narrow_feats.select(
         F.col("file_id").alias("file_id_l"),
@@ -156,7 +161,7 @@ def score_candidates(
     right = features.select(
         F.col("file_id").alias("file_id_r"),
         F.col("norm_name").alias("norm_name_r"),
-        F.unhex("content_sha256").alias("content_sha256_r"),
+        sha_prefix.alias("content_sha256_r"),
         F.col("token_hashes").alias("token_hashes_r"),
     )
     th_l = features.select(
