@@ -90,8 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ER demonstration: resolve the even-id half of the
-    corpus, add the odd-id half via incremental_link (delta blocking +
+    """Incremental-ER demonstration: resolve the crc32(path)-even half
+    of the corpus, add the crc32-odd half via incremental_link (delta blocking +
     delta scoring + CC over delta ∪ existing stars), and summarize the
     updated multi-member entities. Label-identical to a full rerun
     (tests/test_incremental_er.py proves it on labeled fixtures)."""

@@ -11,10 +11,17 @@ Candidate generation only pairs ``new × (new ∪ existing)``:
   entity_id), which enters the final connected-components pass as
   member→entity edges (stars), so transitive merges THROUGH a new
   bridging file still collapse the right existing entities;
-- the delta edge volume is O(|new| · cap), independent of corpus size:
-  blocking keys of the existing side are pre-filtered to keys present
-  in the new batch (a broadcast semi-join when the batch is small —
-  the common case), so the big side is scanned once and pruned early.
+- the exact-key / content / LSH delta edge volume is O(|new| · cap),
+  independent of corpus size: blocking keys of the existing side are
+  pre-filtered to keys present in the new batch (a broadcast semi-join
+  when the batch is small — the common case), so the big side is
+  scanned once and pruned early. The sorted-neighborhood channel is
+  the exception: group heads depend on the global key order, so each
+  delta re-runs the (narrow, two-column) range-sort pass over the full
+  old ∪ new corpus — one O(corpus) narrow shuffle per delta, gated by
+  ``cfg.rungroup_max_rows`` exactly like the batch pipeline; for
+  high-frequency small deltas where LSH recall suffices, raise the
+  gate out of reach (or set the cfg threshold to 0 rows) to skip it.
 
 Exactness: running ``incremental_link`` over a delta produces the SAME
 clusters as re-running the full pipeline over old ∪ new
@@ -148,7 +155,12 @@ def incremental_link(
     when ``cfg.use_lsh``, the previous run's ``minhash_sig_store``
     — (content_sha256, sig) — so only the DELTA's content is hashed.
     Without a store the existing side's signatures are recomputed
-    (correct, but O(corpus) — pass the store in production).
+    (correct, but O(corpus) — pass the store in production). With
+    ``cfg.checkpoint_dir`` set, the updated store is COMPACTED to
+    parquet (``sig_store_NNNN``) so chained delta runs don't stack
+    union lineage and persisted deltas; without one, the returned
+    store carries ``_mds_persisted`` unpersist handles the caller can
+    release once the store is superseded.
 
     Returns dict with ``features`` (new rows only), ``candidate_pairs``
     (delta), ``scored_pairs``, ``clusters`` — the FULL updated
@@ -189,11 +201,25 @@ def incremental_link(
         channels.append(_not_same_entity(rg_pairs, existing_assignment))
 
     sig_store = existing_signatures
+    delta_store = None
     metrics: dict[str, int] = {}
     if cfg.use_lsh:
         # hash ONLY content the store does not cover (the delta, plus any
         # old rows missing from a stale store); stored signatures are
         # exact for fixed (num_perm, shingle_k, seed).
+        if sig_store is not None:
+            # a store built under a different num_perm would join cleanly
+            # and silently break LSH banding — check the one parameter the
+            # data itself reveals (sig length) on a single row. shingle_k /
+            # seed mismatches are not detectable from the data; the store
+            # contract is "produced by this engine with the same cfg".
+            probe = sig_store.select(F.size("sig").alias("_n")).limit(1).collect()
+            if probe and probe[0]["_n"] != cfg.minhash_num_perm:
+                raise ValueError(
+                    f"existing_signatures has {probe[0]['_n']}-perm signatures "
+                    f"but cfg.minhash_num_perm={cfg.minhash_num_perm}; rebuild "
+                    "the store or pass the matching config"
+                )
         narrow = all_feats.select("file_id", "content_sha256")
         if sig_store is not None:
             # membership decided on the NARROW (file_id, sha) projection;
@@ -222,6 +248,29 @@ def incremental_link(
         sig_store = (
             delta_store if sig_store is None else sig_store.unionByName(delta_store)
         )
+        if cfg.checkpoint_dir:
+            # COMPACT the store: chained delta runs would otherwise stack
+            # one persisted delta + one union node per run — unbounded
+            # lineage depth and pinned executor memory. Writing the union
+            # out and re-reading it resets both; the superseded delta
+            # persist is released immediately. The path is VERSIONED
+            # (sig_store_0000, _0001, ...) because the incoming
+            # existing_signatures may itself be a parquet read of the
+            # previous version in the same checkpoint dir — overwriting a
+            # path that the write's own input plan reads is undefined in
+            # Spark. Superseded versions are dead after the write returns
+            # (no returned plan references them) and may be deleted by
+            # external housekeeping.
+            import os as _os
+
+            n = 0
+            while _os.path.exists(f"{cfg.checkpoint_dir}/sig_store_{n:04d}"):
+                n += 1
+            path = f"{cfg.checkpoint_dir}/sig_store_{n:04d}"
+            sig_store.write.mode("overwrite").parquet(path)
+            sig_store = new_files.sparkSession.read.parquet(path)
+            delta_store.unpersist()
+            delta_store = None
         all_sigs = narrow.join(sig_store, "content_sha256").select("file_id", "sig")
         lsh = blocking.minhash_lsh_pairs(
             all_feats,
@@ -259,6 +308,14 @@ def incremental_link(
         "entity_id", F.col("member_id")
     )
     clusters = assignment.unionByName(singletons).dropDuplicates(["member_id"])
+    if sig_store is not None and delta_store is not None:
+        # no checkpoint dir to compact into: hand the caller the persisted
+        # delta handle so a long-running session can release a superseded
+        # store (unpersist each handle once the next run's store — built
+        # on top of this union — has been compacted or discarded).
+        sig_store._mds_persisted = getattr(
+            existing_signatures, "_mds_persisted", []
+        ) + [delta_store]
     return {
         "features": new_feats.drop("_is_new"),
         "candidate_pairs": candidate_pairs,

@@ -258,11 +258,14 @@ def test_stateful_sessionize_late_event(spark, tmp_path):
 
 def test_stateful_sessionize_straddles_watermark(spark, tmp_path):
     """Adversarial out-of-order batches STRADDLING the watermark: an
-    event older than the current watermark is dropped by the engine
-    (never reaches the state function — no session, no 'late' singleton),
-    while an out-of-order event NEWER than the watermark follows the
-    documented absorbed/late policy. This pins the boundary between
-    engine-level late-row filtering and the operator's own late policy."""
+    event older than the current watermark is dropped by the OPERATOR's
+    own watermark filter (applyInPandasWithState hands pre-watermark
+    rows to the state function verbatim — the sessionize.py module
+    docstring pins that engine behavior — so the operator drops them:
+    no session, no 'late' singleton), while an out-of-order event NEWER
+    than the watermark follows the documented absorbed/late policy.
+    This pins the boundary between the operator's watermark filter and
+    its late policy."""
     import time as _time
 
     import pandas as pd
