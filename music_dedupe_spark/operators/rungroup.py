@@ -57,8 +57,13 @@ def rungroup_sequential(keys: list[str], threshold: int = DEFAULT_THRESHOLD) -> 
     gids = [0]
     head = keys[0]
     gid = 0
+    # identical keys (the dominant case: sorted hot keys form long equal
+    # runs) short-circuit on string equality — fuzz_ratio(k, k) == 100,
+    # which passes any threshold < 100, so the DP dispatch is skipped.
+    # Valid only below 100: at threshold >= 100 even equal keys split.
+    eq_joins = threshold < 100
     for k in keys[1:]:
-        if fuzz_ratio(head, k) > threshold:
+        if (eq_joins and k == head) or fuzz_ratio(head, k) > threshold:
             gids.append(gid)
         else:
             gid += 1
@@ -122,8 +127,14 @@ def sorted_run_groups(
                         head, head_id = carry
                     started = True
                 heads = []
+                # equal-key short-circuit: sorted hot keys form long
+                # identical runs; string equality (fuzz == 100 > any
+                # threshold < 100) skips the O(len^2) DP for them
+                eq_joins = threshold < 100
                 for key, rid in zip(pdf["_key"], pdf["_id"]):
-                    if head is None or fuzz_ratio(head, key) <= threshold:
+                    if head is None or not (
+                        (eq_joins and key == head) or fuzz_ratio(head, key) > threshold
+                    ):
                         head, head_id = key, rid
                     heads.append(head_id)
                     n_rows += 1

@@ -260,14 +260,43 @@ def score_candidates(
                 raise AssertionError(
                     f"_ship prefilter dropped {int(bad.sum())} gate-passing pair(s)"
                 )
-            for i in np.flatnonzero(gate & ~exact):
-                x = val_l[off_l[i] : off_l[i + 1]]
-                y = val_r[off_r[i] : off_r[i + 1]]
-                if x.size == 0 and y.size == 0:
-                    jac[i] = 1.0
-                    continue
-                inter = np.intersect1d(x, y, assume_unique=True).size
-                jac[i] = inter / (x.size + y.size - inter)
+            # exact Jaccard for ALL gate survivors in one vectorized pass
+            # (zero per-row Python): gather the survivors' ragged hash
+            # segments into two flat buffers, tag every value with its
+            # survivor index, lexsort by (survivor, value), and count
+            # adjacent equal (survivor, value) runs — each side's values
+            # are DISTINCT within a row (token_hashes is
+            # array_sort(array_distinct(...)) at ingest,
+            # functions/text.py), so an adjacent duplicate means one
+            # value from each side, i.e. exactly one intersection hit.
+            surv = np.flatnonzero(gate & ~exact)
+            if surv.size:
+                llens = off_l[surv + 1] - off_l[surv]
+                rlens = off_r[surv + 1] - off_r[surv]
+
+                def gather(off, vals, lens):
+                    tot = int(lens.sum())
+                    if tot == 0:
+                        return np.empty(0, dtype=vals.dtype)
+                    out_start = np.cumsum(lens) - lens
+                    idx = np.arange(tot) + np.repeat(off[surv] - out_start, lens)
+                    return vals[idx]
+
+                sidx = np.arange(surv.size)
+                pid = np.concatenate([np.repeat(sidx, llens), np.repeat(sidx, rlens)])
+                vals = np.concatenate(
+                    [gather(off_l, val_l, llens), gather(off_r, val_r, rlens)]
+                )
+                order = np.lexsort((vals, pid))
+                sv, sp = vals[order], pid[order]
+                dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+                inter = np.bincount(sp[1:][dup], minlength=surv.size)
+                denom = llens + rlens - inter
+                # denom == 0 only when both token sets are empty: defined
+                # as jaccard 1.0 (identical empty sets)
+                jac[surv] = np.where(
+                    denom > 0, inter / np.maximum(denom, 1), 1.0
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0),  # left_id: zero-copy pass-through
