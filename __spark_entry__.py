@@ -133,7 +133,11 @@ def oracle_sql() -> dict[str, str]:
     er_incremental_clusters) are intentionally omitted -> rows-only
     check; tests/test_entry_contract.py pins this set so a regression
     that silently drops an oracle fails a test instead of passing
-    rows-only. The CC/clustering core itself IS value-checked via
-    er_deterministic_clusters (WITH RECURSIVE oracle), and
-    dedup_simhash is value-checked via md5-replayable token hashes."""
+    rows-only. Mitigations inside the rows-only set: the ANN entries
+    SELF-ASSERT recall vs the brute-force top-k (they raise on a
+    regression instead of passing rows-only), the CC/clustering core is
+    value-checked via er_deterministic_clusters (WITH RECURSIVE
+    oracle), the incremental delta ∪ star fold via
+    er_incremental_deterministic (same oracle over the full batch), and
+    dedup_simhash via md5-replayable token hashes."""
     return dict(_q.oracle_sql())

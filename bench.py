@@ -88,6 +88,13 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
     pipe_sec, n_pairs, n_clusters = _run_pipeline(spark, sf_dir)
     timings["er_pipeline"] = round(pipe_sec, 3)
 
+    # same-session hardware calibration (~11 s, AFTER the timed queries):
+    # this VM's absolute speed drifts by the day, so every headline JSON
+    # carries the multiprocessing scoring-kernel ceiling measured the
+    # same minute — cross-round comparisons normalize against it instead
+    # of guessing whether a delta is code or host drift.
+    hw = _hardware_ceiling()
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_total_sec",
@@ -99,6 +106,7 @@ def run_bench(cpus: str, sf_dir: str) -> dict:
         "pairs_scored": n_pairs,
         "n_clusters": n_clusters,
         "pairs_per_sec": round(n_pairs / pipe_sec, 2) if pipe_sec else None,
+        "hw_ceiling_pairs_per_sec": hw,
         "config": {
             "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
@@ -178,8 +186,17 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
     feats_all = replicas[0]
     for rf in replicas[1:]:
         feats_all = feats_all.unionByName(rf)
-    feats_all.write.mode("overwrite").parquet(f"{work_dir}/features")
-    ids = spark.read.parquet(f"{work_dir}/features").select(
+    # mirror the production pipeline's id space: pair stages run on the
+    # 8-byte internal fid (= xxhash64(file_id)), so the probe's features
+    # and pairs are materialized fid-keyed — the scored exchanges, join
+    # probes and Arrow batches move longs exactly as run_pipeline's do.
+    # fid is recomputed AFTER the replica perturbation (replica file_ids
+    # differ, so their fids must too).
+    from music_dedupe_spark.pipeline import pair_view
+
+    feats_all = feats_all.withColumn("fid", F.xxhash64("file_id"))
+    pair_view(feats_all).write.mode("overwrite").parquet(f"{work_dir}/features")
+    ids = feats_all.select(
         F.regexp_extract("path", r"doc(\d+)\.txt$", 1).cast("long").alias("n"), "file_id"
     ).filter(~F.col("file_id").contains("#r"))
     l = ids.select(F.col("n").alias("nl"), F.col("file_id").alias("left_id"))
@@ -196,6 +213,10 @@ def prepare_scaling_input(sf_dir: str, work_dir: str) -> int:
                 F.concat("right_id", F.lit(f"#r{rep}")).alias("right_id"),
             )
         )
+    # into the internal id space (see feats_all above)
+    pairs = pairs.select(
+        F.xxhash64("left_id").alias("left_id"), F.xxhash64("right_id").alias("right_id")
+    )
     pairs = pairs.repartition(128)
     pairs.write.mode("overwrite").parquet(f"{work_dir}/pairs")
     n = spark.read.parquet(f"{work_dir}/pairs").count()

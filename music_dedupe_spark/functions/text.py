@@ -158,12 +158,26 @@ def with_derived_columns(files: DataFrame) -> DataFrame:
             "search_text",
             search_text_col(F.col("repo"), F.col("title"), F.col("filename")),
         )
-        # 128-bit row id (32 hex chars): collision-safe at 10^12 rows and
-        # half the bytes of a full sha256 through every pair shuffle
+        # 128-bit row id (32 hex chars): collision-safe at 10^12 rows;
+        # the PUBLIC identifier every output stage reports
         .withColumn(
             "file_id",
             F.sha2(
                 F.concat_ws("\x1f", F.col("repo"), F.col("path"), F.col("commit")), 256
             ).substr(1, 32),
         )
+        # 64-bit INTERNAL pair id: the blocking/scoring/clustering stages
+        # shuffle pair rows (volume >> row count), so every exchange, join
+        # probe, and Arrow batch carries 8-byte longs instead of 32-char
+        # strings (the round-3 scaling decomposition measured the pair
+        # joins as memory-bandwidth-bound — bytes/pair is the lever).
+        # Derivable anywhere as xxhash64(file_id) with no join, which is
+        # what lets incremental runs map an existing assignment to the
+        # internal id space as a pure projection. Collision math: expected
+        # colliding id pairs ~ n^2/2^65 — ~3e-12 at 10^7 rows, ~27k at
+        # 10^12 (2.7e-8 of rows; a collision can spuriously merge two
+        # entities, immaterial against the F1>=0.99 criterion). See
+        # PipelineConfig.check_fid_collisions for the optional exactness
+        # assertion on corpora where zero collisions are expected.
+        .withColumn("fid", F.xxhash64(F.col("file_id")))
     )

@@ -208,8 +208,10 @@ def minhash_signatures(
             out["sig"] = sigs
             yield pd.DataFrame(out)
 
+    # id-type-agnostic: the pipeline feeds 8-byte internal longs (fid)
+    # as file_id; direct users pass public strings
     schema = (
-        "file_id string, "
+        f"file_id {dict(df.dtypes)['file_id']}, "
         + "".join(f"{c} string, " for c in passthrough)
         + "sig array<long>"
     )

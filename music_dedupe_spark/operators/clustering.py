@@ -150,6 +150,11 @@ def connected_components(
         )
     if checkpoint_dir and converged:
         _write_metrics(checkpoint_dir, {"converged": True, "iterations": it + 1})
+        # retention: each iter_* snapshot is a full edge-list copy, and
+        # across many runs/resumes they accumulate without bound at scale.
+        # The converged snapshot IS the fixpoint — the only state resume
+        # ever needs — so everything older is expired here.
+        _expire_iterations(checkpoint_dir, keep_from=it)
 
     # after convergence edges form stars; canonical (u, v) has u < v, so
     # u is the component-minimum root and v the member.
@@ -167,7 +172,58 @@ def connected_components(
     singletons = all_nodes.join(assigned, "member_id", "left_anti").withColumn(
         "entity_id", F.col("member_id")
     )
-    return assigned.unionByName(singletons).dropDuplicates(["member_id"])
+    # truncate lineage: the loop is already eager, but the RESULT's
+    # logical plan still embeds the full input-edge lineage (candidate
+    # generation, scoring, prior CC runs ...). Callers fan the
+    # assignment into several self-joins (public-id mapping, singleton
+    # anti-joins, survivorship), and every duplication re-ANALYZES the
+    # whole tree — measured minutes of pure driver/Catalyst time on a
+    # deep incremental plan. One more small job here makes the
+    # assignment a leaf for everything downstream.
+    return (
+        assigned.unionByName(singletons)
+        .dropDuplicates(["member_id"])
+        .localCheckpoint()
+    )
+
+
+def fold_incremental(
+    delta_edges: DataFrame,
+    existing_assignment: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """THE incremental fold: connected components over ``delta_edges`` ∪
+    the existing assignment's member→entity STAR edges. A star encodes a
+    resolved component's connectivity exactly, so the fold (a) leaves
+    untouched components as they were, (b) merges components bridged by
+    a delta edge, and (c) resolves brand-new nodes — without ever
+    regenerating old×old edges. ``delta_edges`` (left_id, right_id) and
+    ``existing_assignment`` (member_id, entity_id) must share one id
+    space (incremental_link maps the public assignment into the
+    internal fid space before calling). Value-checked against a full
+    recursive-CC oracle by queries.er_incremental_deterministic."""
+    star_edges = existing_assignment.filter(
+        F.col("member_id") != F.col("entity_id")
+    ).select(
+        F.col("entity_id").alias("left_id"), F.col("member_id").alias("right_id")
+    )
+    return connected_components(delta_edges.unionByName(star_edges), **cc_kwargs)
+
+
+def _expire_iterations(checkpoint_dir: str, keep_from: int) -> None:
+    """Delete iter_* snapshot dirs with index < ``keep_from`` (the
+    latest converged iteration is kept; a later resume starts there)."""
+    import shutil
+
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("iter_"):
+            continue
+        try:
+            idx = int(name.split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if idx < keep_from:
+            shutil.rmtree(os.path.join(checkpoint_dir, name), ignore_errors=True)
 
 
 def latest_checkpoint(checkpoint_dir: str) -> int | None:

@@ -123,12 +123,13 @@ def _not_same_entity(pairs: DataFrame, assignment: DataFrame) -> DataFrame:
     union-redundant in the CC pass (the star edges encode that closure),
     so dropping them is cluster-exact and prunes the bulk of stable
     old×old neighborhood pairs. Pairs with any unassigned member
-    (every new file) are kept."""
+    (every new file) are kept. ``pairs`` is in the internal fid space;
+    the public assignment maps into it as a pure xxhash64 projection."""
     el = assignment.select(
-        F.col("member_id").alias("left_id"), F.col("entity_id").alias("_el")
+        F.xxhash64("member_id").alias("left_id"), F.col("entity_id").alias("_el")
     )
     er = assignment.select(
-        F.col("member_id").alias("right_id"), F.col("entity_id").alias("_er")
+        F.xxhash64("member_id").alias("right_id"), F.col("entity_id").alias("_er")
     )
     return (
         pairs.join(el, "left_id", "left")
@@ -169,18 +170,29 @@ def incremental_link(
     ``n_signatures_computed``, which tests assert equals the number of
     distinct NEW contents when the store covers the old corpus).
     """
-    from music_dedupe_spark.pipeline import PipelineConfig, ingest
+    from music_dedupe_spark.pipeline import (
+        PipelineConfig,
+        ingest,
+        pair_view,
+        public_assignment,
+        public_pairs,
+    )
 
     cfg = cfg or PipelineConfig()
     new_feats = ingest(new_files).withColumn("_is_new", F.lit(True)).persist()
     old_feats = existing_features.withColumn("_is_new", F.lit(False))
     all_feats = old_feats.unionByName(new_feats, allowMissingColumns=True).persist()
+    # pair-volume stages run in the internal 8-byte id space, exactly
+    # like run_pipeline; fid = xxhash64(file_id) is a pure projection,
+    # so the existing assignment maps into it with no join
+    pv_new = pair_view(new_feats)
+    pv_all = pair_view(all_feats)
 
     channels = [
         # old→root links inside a touched sha group duplicate closure the
         # existing assignment already has — keep the delta pure
-        _touching_new(_delta_content_star(new_feats, all_feats), new_feats),
-        _delta_exact_key_pairs(new_feats, all_feats, cap=cfg.block_cap),
+        _touching_new(_delta_content_star(pv_new, pv_all), pv_new),
+        _delta_exact_key_pairs(pv_new, pv_all, cap=cfg.block_cap),
     ]
 
     # sorted-neighborhood channel (module docstring: group heads shift
@@ -196,7 +208,7 @@ def incremental_link(
     # count also materializes the all_feats persist.
     from music_dedupe_spark.pipeline import rungroup_channel
 
-    rg_pairs = rungroup_channel(all_feats, cfg, all_feats.count())
+    rg_pairs = rungroup_channel(pv_all, cfg, all_feats.count())
     if rg_pairs is not None:
         channels.append(_not_same_entity(rg_pairs, existing_assignment))
 
@@ -220,7 +232,7 @@ def incremental_link(
                     f"but cfg.minhash_num_perm={cfg.minhash_num_perm}; rebuild "
                     "the store or pass the matching config"
                 )
-        narrow = all_feats.select("file_id", "content_sha256")
+        narrow = pv_all.select("file_id", "content_sha256")
         if sig_store is not None:
             # membership decided on the NARROW (file_id, sha) projection;
             # only the (small) miss set's content rows are then pulled by
@@ -229,9 +241,9 @@ def incremental_link(
             miss_ids = narrow.join(
                 sig_store.select("content_sha256"), "content_sha256", "left_anti"
             ).select("file_id")
-            to_hash = all_feats.join(miss_ids, "file_id", "left_semi")
+            to_hash = pv_all.join(miss_ids, "file_id", "left_semi")
         else:
-            to_hash = all_feats
+            to_hash = pv_all
         # one representative per distinct missing content — to_hash is the
         # DELTA, so this dropDuplicates moves only O(|new|) content — and
         # the sha rides through the kernel so the store is a projection
@@ -273,13 +285,13 @@ def incremental_link(
             delta_store = None
         all_sigs = narrow.join(sig_store, "content_sha256").select("file_id", "sig")
         lsh = blocking.minhash_lsh_pairs(
-            all_feats,
+            pv_all,
             num_perm=cfg.minhash_num_perm,
             bands=cfg.minhash_bands,
             shingle_k=cfg.shingle_k,
             sigs=all_sigs,
         )
-        channels.append(_touching_new(lsh, new_feats))
+        channels.append(_touching_new(lsh, pv_new))
     candidate_pairs = blocking.union_channels(*channels)
     # release operator-persisted subplans (banded LSH signatures) once the
     # candidate stage is materialized — same discipline as run_pipeline
@@ -289,19 +301,22 @@ def incremental_link(
     for _d in _cand_deps:
         _d.unpersist()
 
-    scored = scoring.score_candidates(candidate_pairs, all_feats, cfg.scoring).persist()
+    scored = scoring.score_candidates(candidate_pairs, pv_all, cfg.scoring).persist()
     delta_edges = scoring.matched_pairs(scored)
 
-    # fold the existing resolution in as member→entity star edges: CC
-    # over (delta ∪ stars) merges entities bridged by new files and
-    # leaves untouched components exactly as they were.
-    star_edges = existing_assignment.filter(
-        F.col("member_id") != F.col("entity_id")
-    ).select(
-        F.col("entity_id").alias("left_id"), F.col("member_id").alias("right_id")
+    # fold the existing resolution in via clustering.fold_incremental
+    # (CC over delta ∪ member→entity stars — merges entities bridged by
+    # new files, leaves untouched components exactly as they were; the
+    # fold itself is value-checked by er_incremental_deterministic).
+    # Both endpoints of a star edge are file_ids of real rows, so the
+    # xxhash64 projection lands them in the delta's internal id space.
+    fid_assignment = existing_assignment.select(
+        F.xxhash64("member_id").alias("member_id"),
+        F.xxhash64("entity_id").alias("entity_id"),
     )
-    assignment = clustering.connected_components(
-        delta_edges.unionByName(star_edges)
+    assignment = public_assignment(
+        clustering.fold_incremental(delta_edges, fid_assignment),
+        all_feats,
     )
     all_ids = all_feats.select(F.col("file_id").alias("member_id"))
     singletons = all_ids.join(assignment.select("member_id"), "member_id", "left_anti").withColumn(
@@ -318,8 +333,10 @@ def incremental_link(
         ) + [delta_store]
     return {
         "features": new_feats.drop("_is_new"),
-        "candidate_pairs": candidate_pairs,
-        "scored_pairs": scored,
+        # lazy public-id views over the internally persisted fid pairs
+        # (same output contract as run_pipeline)
+        "candidate_pairs": public_pairs(candidate_pairs, all_feats),
+        "scored_pairs": public_pairs(scored, all_feats),
         "clusters": clusters,
         "minhash_sig_store": sig_store,
         "metrics": metrics,

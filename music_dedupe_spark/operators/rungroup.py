@@ -44,8 +44,6 @@ from music_dedupe_spark.functions.similarity import fuzz_ratio
 
 DEFAULT_THRESHOLD = 85  # fuzz.ratio > 85, /root/reference/app/core.py:697
 
-_SUMMARY = "\x00SUMMARY"
-
 
 def rungroup_sequential(keys: list[str], threshold: int = DEFAULT_THRESHOLD) -> list[int]:
     """The reference forward pass (core.py:687-706) verbatim over an
@@ -99,6 +97,11 @@ def sorted_run_groups(
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # id-type-agnostic: the pipeline feeds 8-byte internal longs (fid)
+    # through the pair stages, while direct operator users (tests, the
+    # w1/J1 queries) pass public string ids — the pass only CARRIES the
+    # id, so the mapInPandas schema is derived from the input column.
+    id_type = dict(df.dtypes)[id_col]
 
     parted = (
         df.select(F.col(id_col).alias("_id"), F.coalesce(F.col(key_col), F.lit("")).alias("_key"))
@@ -108,10 +111,10 @@ def sorted_run_groups(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def make_pass(carries: dict[int, tuple[str, str]]):
+    def make_pass(carries: dict[int, tuple]):
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             head: str | None = None
-            head_id: str | None = None
+            head_id = None
             first_key: str | None = None
             pid = None
             started = False
@@ -139,23 +142,36 @@ def sorted_run_groups(
                     heads.append(head_id)
                     n_rows += 1
                 yield pd.DataFrame(
-                    {"_id": pdf["_id"], "_key": pdf["_key"], "_pid": pdf["_pid"], "_head": heads}
+                    {
+                        "_id": pdf["_id"],
+                        "_key": pdf["_key"],
+                        "_pid": pdf["_pid"],
+                        "_head": heads,
+                        "_sum": False,
+                        "_first": None,
+                    }
                 )
             if n_rows:
-                # summary marker: outgoing open-group (key, id) + first key
+                # summary marker row: outgoing open-group (key in _key,
+                # head id in _head) + the partition's first key in _first
                 yield pd.DataFrame(
                     {
-                        "_id": [_SUMMARY],
+                        "_id": [None],
                         "_key": [head],
                         "_pid": [pid],
-                        "_head": [head_id + "\x1f" + first_key],
+                        "_head": [head_id],
+                        "_sum": [True],
+                        "_first": [first_key],
                     }
                 )
 
         return run
 
-    schema = "_id string, _key string, _pid int, _head string"
-    carries: dict[int, tuple[str, str]] = {}
+    schema = (
+        f"_id {id_type}, _key string, _pid int, _head {id_type}, "
+        "_sum boolean, _first string"
+    )
+    carries: dict[int, tuple] = {}
     rounds = max_rounds or n + 1
     result = None
     for rnd in range(rounds):
@@ -164,14 +180,13 @@ def sorted_run_groups(
         )
         outs = {}
         firsts = {}
-        for r in result.filter(F.col("_id") == _SUMMARY).collect():
-            head_id, first_key = r["_head"].split("\x1f", 1)
-            outs[int(r["_pid"])] = (r["_key"], head_id)
-            firsts[int(r["_pid"])] = first_key
+        for r in result.filter(F.col("_sum")).collect():
+            outs[int(r["_pid"])] = (r["_key"], r["_head"])
+            firsts[int(r["_pid"])] = r["_first"]
         # carry into partition p = outgoing head of the nearest non-empty
         # predecessor partition
-        new_carries: dict[int, tuple[str, str]] = {}
-        prev: tuple[str, str] | None = None
+        new_carries: dict[int, tuple] = {}
+        prev: tuple | None = None
         for pid in sorted(outs):
             if prev is not None:
                 new_carries[pid] = prev
@@ -188,7 +203,7 @@ def sorted_run_groups(
         carries = new_carries
         result.unpersist()
 
-    rows = result.filter(F.col("_id") != _SUMMARY)
+    rows = result.filter(~F.col("_sum"))
     out = rows.select(
         F.col("_id").alias(id_col),
         F.col("_key").alias(key_col),

@@ -81,13 +81,18 @@ def duplicate_decision(cfg: ScoringConfig | None = None) -> Column:
 
 #: Arrow kernel output: scores only — the is_dup decision is appended
 #: Catalyst-side by score_candidates via duplicate_decision(), so there
-#: is exactly ONE copy of the decision rule in the repo.
-_KERNEL_SCHEMA = (
-    "left_id string, right_id string, fuzz_key int, jw double, norm_lev double, "
-    "jaccard double, exact_content boolean, gate_passed boolean"
-)
+#: is exactly ONE copy of the decision rule in the repo. The id columns
+#: pass through the kernel zero-copy, so their type follows the input:
+#: 8-byte internal longs (fid) in the pipeline, strings for direct
+#: operator users.
+def _kernel_schema(id_type: str) -> str:
+    return (
+        f"left_id {id_type}, right_id {id_type}, fuzz_key int, jw double, "
+        "norm_lev double, jaccard double, exact_content boolean, gate_passed boolean"
+    )
 
-SCORED_SCHEMA = _KERNEL_SCHEMA + ", is_dup boolean"
+
+SCORED_SCHEMA = _kernel_schema("string") + ", is_dup boolean"
 
 
 def score_candidates(
@@ -320,7 +325,7 @@ def score_candidates(
                 ],
             )
 
-    scored = joined.mapInArrow(run, schema=_KERNEL_SCHEMA)
+    scored = joined.mapInArrow(run, schema=_kernel_schema(dict(pairs.dtypes)["left_id"]))
     # NaN marks "gated out" (jaccard: gate not passed; jw: cascade skipped
     # it because norm_lev < 0.8); normalize to NULL (Spark orders NaN as
     # the LARGEST double — a raw NaN would pass >= thresholds downstream).

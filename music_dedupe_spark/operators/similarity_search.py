@@ -145,10 +145,48 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataF
     )
 
 
-@register("ann_lsh_topk", None)  # approximate: rows-only driver check
+#: Recall floor the self-asserting ANN entries enforce against the exact
+#: brute-force top-k. Below the repo's 0.6 test floors on purpose: the
+#: gate guards against REGRESSIONS (a broken bucketer scores ~0), not
+#: tuning noise on a different corpus.
+RECALL_FLOOR = 0.5
+
+
+def _assert_recall(
+    approx: DataFrame, embeddings: DataFrame, queries: DataFrame,
+    k: int = TOP_K, floor: float = RECALL_FLOOR,
+) -> DataFrame:
+    """Self-asserting rows-only entry: the driver has no SQL oracle for
+    the seeded ANN queries (hyperplanes/centroids aren't replayable in
+    DuckDB), so the query computes its own recall against the exact
+    brute-force top-k and RAISES below ``floor`` — a recall regression
+    fails the driver's rows-only check loudly instead of passing as
+    "rows >= 0". The query/truth sets are N_QUERIES x k rows — the
+    collect is O(100), not a data path. tests/test_ann.py injects a
+    broken bucketer/index to prove both entries do fail."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(embeddings, queries, k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in approx.select("query_id", "neighbor_id").collect()
+    }
+    recall = len(truth & got) / max(len(truth), 1)
+    if recall < floor:
+        raise RuntimeError(
+            f"ANN recall {recall:.3f} fell below the {floor} floor vs the "
+            "brute-force top-k — approximate index regressed"
+        )
+    return approx
+
+
+@register("ann_lsh_topk", None)  # approximate: rows-only driver check (self-asserting)
 def ann_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
-    return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).orderBy("query_id", "rank")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    out = lsh_topk(e, q).orderBy("query_id", "rank")
+    return _assert_recall(out, e, q)
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +294,9 @@ def ivf_topk(
     )
 
 
-@register("ann_ivf_topk", None)  # approximate: rows-only driver check
+@register("ann_ivf_topk", None)  # approximate: rows-only driver check (self-asserting)
 def ann_ivf_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
-    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES)).orderBy("query_id", "rank")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(e, q).orderBy("query_id", "rank")
+    return _assert_recall(out, e, q)

@@ -5,6 +5,17 @@ Every stage returns a DataFrame; ``run_pipeline`` wires them and
 optionally checkpoints each stage to parquet (the Iceberg-snapshot
 analog of the reference's per-100-row SQLite commits, core.py:655-663;
 see sources/catalog.py for the snapshot-commit table format).
+
+Two id spaces (round-4 scaling change): the PUBLIC ``file_id`` (128-bit
+hex string) identifies rows in every returned stage output, while the
+pair-volume stages — blocking, scoring, connected components — run on
+the INTERNAL 8-byte ``fid`` (= xxhash64(file_id), a pure projection;
+see functions/text.py for the collision math). ``pair_view`` enters
+the internal space; ``public_assignment`` / ``public_pairs`` leave it
+at the output boundary. Pair volume dwarfs row volume, so this cuts
+the bytes moved by every pair exchange, join probe, and Arrow batch
+~4x — the round-3 scaling decomposition measured exactly those joins
+as the memory-bandwidth-bound stage.
 """
 
 from __future__ import annotations
@@ -37,6 +48,15 @@ class PipelineConfig:
     resume: bool = False
     # set by run_pipeline (features.count()); callers may pre-set to skip
     n_rows_hint: int | None = None
+    # assert that the 64-bit internal ids (fid = xxhash64(file_id)) are
+    # collision-free for this corpus (one extra countDistinct agg over
+    # the narrow fid column). Default off: expected collisions are
+    # n^2/2^65 (~3e-12 at 10^7 rows) and at 10^12 rows ~27k collisions
+    # are EXPECTED and accepted (2.7e-8 spurious-merge rate, immaterial
+    # vs the F1>=0.99 criterion) — a hard assert would make the pipeline
+    # un-runnable at exactly the scale it targets. Enable for smaller
+    # corpora where zero collisions should hold.
+    check_fid_collisions: bool = False
     # scale ceiling for the exact sorted-neighborhood channel (J1): its
     # carry-propagation fixpoint collects one summary row per ~50k-row
     # partition per round — O(n / 50k) driver rows, i.e. ~2e7 rows at
@@ -61,6 +81,48 @@ def ingest(files: DataFrame) -> DataFrame:
     eligible input is the per-row invariant (BASELINE.json input_hint),
     asserted stage-by-stage in tests/test_pipeline_e2e.py."""
     return with_derived_columns(eligible_files(files))
+
+
+def pair_view(features: DataFrame) -> DataFrame:
+    """The INTERNAL-id projection of the features table: the 8-byte
+    ``fid`` takes the ``file_id`` slot, so every pair-stage exchange,
+    join probe, and Arrow batch moves longs instead of 32-char strings
+    (pair volume >> row volume — bytes-per-pair is the measured
+    bandwidth lever at scale). Public string ids rejoin the outputs at
+    the boundary via ``public_assignment`` / ``public_pairs``."""
+    return features.drop("file_id").withColumnRenamed("fid", "file_id")
+
+
+def public_assignment(assignment: DataFrame, features: DataFrame) -> DataFrame:
+    """Map an internal-id (fid) CC assignment back to public string ids:
+    (member_id, entity_id) strings, with entity_id re-labeled as the
+    component's MINIMUM member file_id (the documented deterministic
+    representative — fid order is not string order, so the CC's
+    min-fid root is only a component key here, never exposed).
+    Cost: two narrow row-count joins + one per-component aggregate —
+    linear, at the output boundary only."""
+    id_map = features.select(F.col("fid").alias("member_id"), "file_id")
+    m = assignment.join(id_map, "member_id").select(
+        F.col("file_id").alias("_member"), F.col("entity_id").alias("_comp")
+    )
+    reps = m.groupBy("_comp").agg(F.min("_member").alias("_entity"))
+    return m.join(reps, "_comp").select(
+        F.col("_member").alias("member_id"), F.col("_entity").alias("entity_id")
+    )
+
+
+def public_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
+    """Lazy output-boundary view of a fid-keyed pair stage with public
+    string ids restored. Only consumers of the pair-level outputs pay
+    the two id-map joins; the internal flow stays on longs."""
+    rest = [c for c in pairs.columns if c not in ("left_id", "right_id")]
+    lm = features.select(F.col("fid").alias("left_id"), F.col("file_id").alias("_l"))
+    rm = features.select(F.col("fid").alias("right_id"), F.col("file_id").alias("_r"))
+    return (
+        pairs.join(lm, "left_id")
+        .join(rm, "right_id")
+        .select(F.col("_l").alias("left_id"), F.col("_r").alias("right_id"), *rest)
+    )
 
 
 def rungroup_channel(
@@ -145,6 +207,19 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
 
     if cfg.n_rows_hint is None:
         cfg.n_rows_hint = features.count()  # also materializes the persist
+    if cfg.check_fid_collisions:
+        r = features.agg(
+            F.count("*").alias("n"), F.count_distinct("fid").alias("d")
+        ).collect()[0]
+        if int(r["n"]) != int(r["d"]):
+            raise RuntimeError(
+                f"internal 64-bit id collision: {int(r['n'])} rows but only "
+                f"{int(r['d'])} distinct fids (expected at >~10^9 rows; see "
+                "PipelineConfig.check_fid_collisions)"
+            )
+
+    # all pair-volume stages run in the INTERNAL 8-byte id space
+    pv = pair_view(features)
 
     # MinHash signature store: signatures are deterministic per content
     # for fixed (num_perm, shingle_k, seed), so they are computed ONCE
@@ -161,7 +236,7 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         # shuffle of the content column. dropDuplicates here moves only
         # (sha, 1KB sig) rows.
         sigs = blocking.minhash_signatures(
-            features,
+            pv,
             cfg.minhash_num_perm,
             cfg.shingle_k,
             seed=1,
@@ -180,7 +255,7 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         )
         minhash_sigs = sigs.select("file_id", "sig")
 
-    candidate_pairs = generate_candidates(features, cfg, minhash_sigs=minhash_sigs)
+    candidate_pairs = generate_candidates(pv, cfg, minhash_sigs=minhash_sigs)
     # operators may persist expensive shared subplans (minhash banded
     # signatures) and hand back the handles; release them once the
     # candidate stage is materialized below
@@ -196,7 +271,7 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
     for _d in _cand_deps:
         _d.unpersist()
 
-    scored = scoring.score_candidates(candidate_pairs, features, cfg.scoring)
+    scored = scoring.score_candidates(candidate_pairs, pv, cfg.scoring)
     if cfg.checkpoint_dir:
         _checkpoint(scored, f"{cfg.checkpoint_dir}/stage2_scored")
         scored = files.sparkSession.read.parquet(f"{cfg.checkpoint_dir}/stage2_scored")
@@ -204,10 +279,13 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         scored = scored.persist()
 
     matched = scoring.matched_pairs(scored).persist()
-    assignment = clustering.connected_components(
-        matched,
-        checkpoint_dir=f"{cfg.checkpoint_dir}/cc" if cfg.checkpoint_dir else None,
-        resume=cfg.resume,
+    assignment = public_assignment(
+        clustering.connected_components(
+            matched,
+            checkpoint_dir=f"{cfg.checkpoint_dir}/cc" if cfg.checkpoint_dir else None,
+            resume=cfg.resume,
+        ),
+        features,
     )
     # singletons: files that matched nothing keep their own id
     all_assign = assignment.unionByName(
@@ -222,9 +300,12 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
     )
     return {
         "features": features,
-        "candidate_pairs": candidate_pairs,
-        "scored_pairs": scored,
-        "matched_pairs": matched,
+        # pair-level stages are persisted/checkpointed in the internal
+        # fid space; the dict exposes lazy public-id views (the id-map
+        # joins run only when a caller consumes these outputs)
+        "candidate_pairs": public_pairs(candidate_pairs, features),
+        "scored_pairs": public_pairs(scored, features),
+        "matched_pairs": public_pairs(matched, features),
         "clusters": all_assign,
         "ranked": ranked,
         # (content_sha256, sig) — None when use_lsh=False; feed this to

@@ -67,6 +67,42 @@ def test_ivf_recall_on_sorted_corpus(embeddings, queries, truth):
     assert _recall(rows, truth) >= 0.6, "IVF recall collapsed on sorted corpus"
 
 
+def test_ann_entries_fail_loudly_on_recall_regression(spark, monkeypatch):
+    """The driver's check for the seeded ANN entries is rows-only, so
+    the queries self-assert recall vs the brute-force top-k. Inject a
+    regression into each approximate index (a bucketer that never
+    collides; an IVF assignment that lands every vector in a cell no
+    probe targets) and the registered entries must RAISE instead of
+    returning plausible-but-empty rows."""
+    import pandas as pd
+
+    import music_dedupe_spark.operators.similarity_search as ss
+
+    def broken_bucketer(*a, **k):
+        def compute(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "buckets": [[] for _ in range(len(pdf))]}
+                )
+
+        return compute
+
+    monkeypatch.setattr(ss, "srp_bucket_udf", broken_bucketer)
+    with pytest.raises(RuntimeError, match="recall"):
+        ss.ann_lsh_topk(spark, SF)
+    monkeypatch.undo()
+
+    real_index = ss.ivf_index
+
+    def broken_index(embeddings, n_cells=16, **kw):
+        centroids, assigned = real_index(embeddings, n_cells=n_cells, **kw)
+        return centroids, assigned.withColumn("cell", F.lit(-1))
+
+    monkeypatch.setattr(ss, "ivf_index", broken_index)
+    with pytest.raises(RuntimeError, match="recall"):
+        ss.ann_ivf_topk(spark, SF)
+
+
 def test_ivf_scan_fraction(embeddings, queries):
     # the point of IVF: candidates per query ≪ corpus
     from music_dedupe_spark.operators.similarity_search import ivf_index

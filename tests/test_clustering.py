@@ -69,6 +69,27 @@ def test_cc_idempotent_fixpoint(spark):
     assert a == b
 
 
+def test_cc_checkpoint_retention(spark, tmp_path):
+    """A converged run keeps ONLY the fixpoint snapshot (older iter_*
+    dirs expire — each is a full edge-list copy, and across runs they
+    accumulate without bound at scale), and resuming from the retained
+    snapshot reproduces the same clusters."""
+    import os
+
+    edges = [e for e in _random_edges(5) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    ckpt = str(tmp_path / "cc")
+    want = {
+        r["member_id"]: r["entity_id"]
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    iters = [n for n in os.listdir(ckpt) if n.startswith("iter_")]
+    assert len(iters) == 1, f"expected only the fixpoint snapshot, got {sorted(iters)}"
+    resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
+    got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}
+    assert got == want
+
+
 def test_cc_checkpoint_resume(spark, tmp_path):
     # kill the loop after one iteration; resume must produce identical
     # clusters (FIXTURES.md §5.6, north rule resumability)

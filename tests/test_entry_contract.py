@@ -79,12 +79,13 @@ def test_rows_only_queries_run(spark, name):
 EXPECTED_NO_ORACLE = {
     "approx_distinct_parts",   # HLL sketch — approximate by definition
     "dedup_minhash_lsh",       # seeded MinHash permutations, not SQL-replayable
-    "ann_lsh_topk",            # seeded SRP hyperplanes
-    "ann_ivf_topk",            # seeded k-means centroids
+    "ann_lsh_topk",            # seeded SRP hyperplanes (self-asserts recall)
+    "ann_ivf_topk",            # seeded k-means centroids (self-asserts recall)
     "er_pipeline_clusters",    # full fuzzy pipeline (MinHash + DP scorer);
                                # its deterministic core is value-checked by
                                # er_deterministic_clusters
-    "er_incremental_clusters", # same fuzzy machinery, delta mode
+    "er_incremental_clusters", # same fuzzy machinery, delta mode; the fold
+                               # is value-checked by er_incremental_deterministic
 }
 
 
