@@ -272,11 +272,21 @@ def incremental_link(
             # path that the write's own input plan reads is undefined in
             # Spark. Superseded versions are dead after the write returns
             # (no returned plan references them) and may be deleted by
-            # external housekeeping.
-            import os as _os
+            # external housekeeping. Existence is checked through the
+            # Hadoop FileSystem of the checkpoint URI — a driver-local
+            # os.path check would always see "absent" on hdfs://s3a://
+            # dirs and re-target sig_store_0000, overwriting the very
+            # store the union's input plan is reading.
+            spark = new_files.sparkSession
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+
+            def _fs_exists(p: str) -> bool:
+                hpath = jvm.org.apache.hadoop.fs.Path(p)
+                return hpath.getFileSystem(hconf).exists(hpath)
 
             n = 0
-            while _os.path.exists(f"{cfg.checkpoint_dir}/sig_store_{n:04d}"):
+            while _fs_exists(f"{cfg.checkpoint_dir}/sig_store_{n:04d}"):
                 n += 1
             path = f"{cfg.checkpoint_dir}/sig_store_{n:04d}"
             sig_store.write.mode("overwrite").parquet(path)

@@ -92,9 +92,6 @@ def _kernel_schema(id_type: str) -> str:
     )
 
 
-SCORED_SCHEMA = _kernel_schema("string") + ", is_dup boolean"
-
-
 def score_candidates(
     pairs: DataFrame, features: DataFrame, cfg: ScoringConfig | None = None
 ) -> DataFrame:

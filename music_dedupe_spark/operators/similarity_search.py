@@ -168,11 +168,18 @@ def _assert_recall(
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(embeddings, queries, k).collect()
     }
+    if not truth:
+        # empty corpus/query set: nothing to recall — vacuously fine
+        return approx
+    # persist: the check collects the approx plan once; without a cache
+    # the caller's own collect would re-run the whole bucket join +
+    # re-rank (the result is k * N_QUERIES rows — tiny to cache)
+    approx = approx.persist()
     got = {
         (r["query_id"], r["neighbor_id"])
         for r in approx.select("query_id", "neighbor_id").collect()
     }
-    recall = len(truth & got) / max(len(truth), 1)
+    recall = len(truth & got) / len(truth)
     if recall < floor:
         raise RuntimeError(
             f"ANN recall {recall:.3f} fell below the {floor} floor vs the "

@@ -114,14 +114,22 @@ def public_assignment(assignment: DataFrame, features: DataFrame) -> DataFrame:
 def public_pairs(pairs: DataFrame, features: DataFrame) -> DataFrame:
     """Lazy output-boundary view of a fid-keyed pair stage with public
     string ids restored. Only consumers of the pair-level outputs pay
-    the two id-map joins; the internal flow stays on longs."""
+    the two id-map joins; the internal flow stays on longs. The pair is
+    RE-CANONICALIZED to left_id < right_id in STRING order (internal
+    canonical order is fid order, which disagrees with string order for
+    ~half the pairs) — safe because every per-pair column (channel,
+    scores, is_dup) is orientation-symmetric."""
     rest = [c for c in pairs.columns if c not in ("left_id", "right_id")]
     lm = features.select(F.col("fid").alias("left_id"), F.col("file_id").alias("_l"))
     rm = features.select(F.col("fid").alias("right_id"), F.col("file_id").alias("_r"))
     return (
         pairs.join(lm, "left_id")
         .join(rm, "right_id")
-        .select(F.col("_l").alias("left_id"), F.col("_r").alias("right_id"), *rest)
+        .select(
+            F.least("_l", "_r").alias("left_id"),
+            F.greatest("_l", "_r").alias("right_id"),
+            *rest,
+        )
     )
 
 

@@ -126,6 +126,49 @@ _D = "imodule handler alpha"
 _E = "mhodule ander alphka"
 
 
+def test_chained_deltas_compact_signature_store(spark, tmp_path):
+    """Two chained delta runs with a checkpoint dir: each run compacts
+    the updated signature store to a NEW versioned parquet
+    (sig_store_0000, _0001 — never overwriting the version its own
+    input plan reads), the second run reads the first's store and
+    hashes only its own new contents, and the store stays complete."""
+    def mkfiles(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+
+    base_rows = [("r", f"src/alpha_{i}.py", "c0", "py", f"base content {i}") for i in range(4)]
+    d1_rows = [("r", "src/beta_1.py", "c1", "py", "delta one content")]
+    d2_rows = [("r", "src/gamma_1.py", "c2", "py", "delta two content")]
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ck"))
+    base = run_pipeline(mkfiles(base_rows), cfg)
+    inc1 = incremental_link(
+        mkfiles(d1_rows), base["features"], base["clusters"], cfg,
+        existing_signatures=base["minhash_sig_store"],
+    )
+    assert inc1["metrics"]["n_signatures_computed"] == 1
+    assert (tmp_path / "ck" / "sig_store_0000" / "_SUCCESS").exists()
+
+    # features for the chained run = old ∪ delta1 (public contract)
+    feats2 = base["features"].unionByName(inc1["features"])
+    inc2 = incremental_link(
+        mkfiles(d2_rows), feats2, inc1["clusters"], cfg,
+        existing_signatures=inc1["minhash_sig_store"],
+    )
+    assert inc2["metrics"]["n_signatures_computed"] == 1
+    assert (tmp_path / "ck" / "sig_store_0001" / "_SUCCESS").exists()
+    store_shas = {
+        r["content_sha256"]
+        for r in inc2["minhash_sig_store"].select("content_sha256").collect()
+    }
+    all_shas = {
+        r["content_sha256"]
+        for r in feats2.unionByName(inc2["features"]).select("content_sha256").collect()
+    }
+    assert store_shas == all_shas
+
+
 def test_delta_rungroup_emits_regrouped_old_pair(spark):
     rows = [
         ("r", f"src/{name}.py", "c0", "py", f"content {i} {name}")

@@ -72,6 +72,19 @@ def test_survivorship_argmax(result):
     assert bad == 0
 
 
+def test_public_pair_outputs_canonical_string_order(result):
+    """The public pair views (candidate/scored/matched) must satisfy the
+    documented left_id < right_id contract in STRING order — internally
+    pairs are canonical in 64-bit fid order, which disagrees with string
+    order for ~half the pairs, so public_pairs must re-canonicalize (a
+    consumer joining against string-canonicalized pair keys would
+    silently drop the flipped half otherwise)."""
+    for stage in ("candidate_pairs", "scored_pairs", "matched_pairs"):
+        df = result[stage]
+        assert df.filter(F.col("left_id") >= F.col("right_id")).count() == 0, stage
+        assert dict(df.dtypes)["left_id"] == "string", stage
+
+
 def test_determinism_under_parallelism(spark, files_df, labeled_pairs_df, result):
     # FIXTURES.md §5.5: same clusters with a different shuffle layout
     cfg = PipelineConfig()
