@@ -1,0 +1,79 @@
+"""Hadoop-FileSystem helpers for checkpoint/store bookkeeping.
+
+Every path that a 100 TB deployment would put on ``hdfs://`` / ``s3a://``
+(CC iteration snapshots, signature stores, metrics sidecars, catalog
+manifests) must be probed/listed/deleted through the Hadoop FileSystem
+of the path's OWN scheme — driver-local ``os.path`` silently reports
+"absent" for remote URIs, which turns resume into restart-from-scratch
+and retention into a no-op exactly at the scale those features exist
+for. These wrappers go through the JVM ``FileSystem`` API, so they work
+identically for bare local paths, ``file://`` URIs, and remote stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Basenames of the children of ``path`` ([] when it doesn't exist)."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, hpath, _ = _fs(spark, path)
+    return bool(fs.delete(hpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """FileSystem.rename: atomic on HDFS/local, REFUSES an existing
+    destination (returns False) — the property the versioned-store
+    publish relies on to serialize concurrent writers."""
+    fs, hsrc, jvm = _fs(spark, src)
+    return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite ``path`` with ``text`` (parent dirs made)."""
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def append_line(spark: SparkSession, path: str, line: str) -> None:
+    """Append one line to a (small) metrics/log file. Plain
+    ``FileSystem.append`` is unsupported on several stores (s3a, some
+    local FS builds), so this reads + rewrites — fine for the advisory
+    jsonl sidecars it serves (a few hundred bytes, one writer)."""
+    prev = read_text(spark, path) if exists(spark, path) else ""
+    write_text(spark, path, prev + line + "\n")

@@ -18,11 +18,12 @@ short chains) converge in 2-3.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from music_dedupe_spark import fsutil
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -119,6 +120,7 @@ def connected_components(
             path = f"{checkpoint_dir}/iter_{it:04d}"
             ss.write.mode("overwrite").parquet(path)
             _write_metrics(
+                spark,
                 checkpoint_dir,
                 {
                     "iteration": it,
@@ -142,19 +144,24 @@ def connected_components(
         # covers resuming with start_iter >= max_iterations (zero
         # iterations executed = zero evidence of a fixpoint).
         if checkpoint_dir:
-            _write_metrics(checkpoint_dir, {"converged": False, "iterations": max_iterations})
+            _write_metrics(
+                spark, checkpoint_dir, {"converged": False, "iterations": max_iterations}
+            )
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (checksum fixpoint not reached); resume from "
             "checkpoint_dir with a larger max_iterations"
         )
     if checkpoint_dir and converged:
-        _write_metrics(checkpoint_dir, {"converged": True, "iterations": it + 1})
+        _write_metrics(spark, checkpoint_dir, {"converged": True, "iterations": it + 1})
         # retention: each iter_* snapshot is a full edge-list copy, and
         # across many runs/resumes they accumulate without bound at scale.
         # The converged snapshot IS the fixpoint — the only state resume
-        # ever needs — so everything older is expired here.
-        _expire_iterations(checkpoint_dir, keep_from=it)
+        # ever needs — so every OTHER index is expired, including
+        # higher-indexed leftovers of a previous longer run in a reused
+        # dir (which latest_checkpoint would otherwise prefer, silently
+        # resuming from a stale edge list).
+        _expire_iterations(spark, checkpoint_dir, keep=it)
 
     # after convergence edges form stars; canonical (u, v) has u < v, so
     # u is the component-minimum root and v the member.
@@ -180,11 +187,18 @@ def connected_components(
     # whole tree — measured minutes of pure driver/Catalyst time on a
     # deep incremental plan. One more small job here makes the
     # assignment a leaf for everything downstream.
-    return (
-        assigned.unionByName(singletons)
-        .dropDuplicates(["member_id"])
-        .localCheckpoint()
-    )
+    result = assigned.unionByName(singletons).dropDuplicates(["member_id"])
+    if checkpoint_dir:
+        # a localCheckpoint stores blocks UNREPLICATED on executors: on a
+        # real cluster, losing one executor after convergence would make
+        # the assignment permanently unrecomputable for every downstream
+        # consumer. With a checkpoint dir available the assignment is
+        # persisted like the iteration snapshots — durable, and still a
+        # plan leaf.
+        path = f"{checkpoint_dir}/assignment"
+        result.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return result.localCheckpoint()
 
 
 def fold_incremental(
@@ -210,38 +224,47 @@ def fold_incremental(
     return connected_components(delta_edges.unionByName(star_edges), **cc_kwargs)
 
 
-def _expire_iterations(checkpoint_dir: str, keep_from: int) -> None:
-    """Delete iter_* snapshot dirs with index < ``keep_from`` (the
-    latest converged iteration is kept; a later resume starts there)."""
-    import shutil
-
-    for name in os.listdir(checkpoint_dir):
-        if not name.startswith("iter_"):
-            continue
-        try:
-            idx = int(name.split("_")[1])
-        except (IndexError, ValueError):
-            continue
-        if idx < keep_from:
-            shutil.rmtree(os.path.join(checkpoint_dir, name), ignore_errors=True)
-
-
-def latest_checkpoint(checkpoint_dir: str) -> int | None:
-    if not os.path.isdir(checkpoint_dir):
+def _iter_index(name: str) -> int | None:
+    if not name.startswith("iter_"):
         return None
+    try:
+        return int(name.split("_")[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def _expire_iterations(spark: SparkSession, checkpoint_dir: str, keep: int) -> None:
+    """Delete every iter_* snapshot EXCEPT index ``keep`` (the converged
+    fixpoint — the only state a resume ever needs). Higher indices are
+    expired too: in a reused dir they are stale leftovers of a previous
+    longer run, and keeping them would make latest_checkpoint (max
+    index) resume from the wrong run's edges. All I/O goes through the
+    Hadoop FileSystem of the dir's scheme, so retention works on
+    hdfs:// / s3a:// checkpoint dirs, not only the driver's local disk."""
+    for name in fsutil.list_names(spark, checkpoint_dir):
+        idx = _iter_index(name)
+        if idx is not None and idx != keep:
+            fsutil.delete(spark, f"{checkpoint_dir}/{name}")
+
+
+def latest_checkpoint(checkpoint_dir: str, spark: SparkSession | None = None) -> int | None:
+    """Highest complete (_SUCCESS-marked) iter_* snapshot index, or None.
+    Probed through the Hadoop FileSystem — on a remote checkpoint dir a
+    driver-local listing would always see "absent" and silently restart
+    from scratch instead of resuming."""
+    spark = spark or SparkSession.getActiveSession()
     its = []
-    for name in os.listdir(checkpoint_dir):
-        if name.startswith("iter_") and os.path.exists(
-            os.path.join(checkpoint_dir, name, "_SUCCESS")
+    for name in fsutil.list_names(spark, checkpoint_dir):
+        idx = _iter_index(name)
+        if idx is not None and fsutil.exists(
+            spark, f"{checkpoint_dir}/{name}/_SUCCESS"
         ):
-            its.append(int(name.split("_")[1]))
+            its.append(idx)
     return max(its) if its else None
 
 
-def _write_metrics(checkpoint_dir: str, row: dict) -> None:
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(os.path.join(checkpoint_dir, "_metrics.jsonl"), "a") as fh:
-        fh.write(json.dumps(row) + "\n")
+def _write_metrics(spark: SparkSession, checkpoint_dir: str, row: dict) -> None:
+    fsutil.append_line(spark, f"{checkpoint_dir}/_metrics.jsonl", json.dumps(row))
 
 
 def clusters_of(spark: SparkSession, assignment: DataFrame) -> DataFrame:

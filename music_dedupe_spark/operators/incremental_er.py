@@ -180,6 +180,14 @@ def incremental_link(
 
     cfg = cfg or PipelineConfig()
     new_feats = ingest(new_files).withColumn("_is_new", F.lit(True)).persist()
+    # a features table persisted by an older engine version may predate
+    # the internal-id column; unionByName(allowMissingColumns=True) would
+    # then NULL-fill fid for every old row, pair_view would hand the pair
+    # stages null ids, and public_assignment's id_map join would silently
+    # drop every old member (existing entities degrade to singletons).
+    # fid is a pure projection of file_id, so recompute it when absent.
+    if "fid" not in existing_features.columns:
+        existing_features = existing_features.withColumn("fid", F.xxhash64("file_id"))
     old_feats = existing_features.withColumn("_is_new", F.lit(False))
     all_feats = old_feats.unionByName(new_feats, allowMissingColumns=True).persist()
     # pair-volume stages run in the internal 8-byte id space, exactly
@@ -276,21 +284,26 @@ def incremental_link(
             # Hadoop FileSystem of the checkpoint URI — a driver-local
             # os.path check would always see "absent" on hdfs://s3a://
             # dirs and re-target sig_store_0000, overwriting the very
-            # store the union's input plan is reading.
+            # store the union's input plan is reading. The PUBLISH is a
+            # write-to-temp + FileSystem.rename: two concurrent delta
+            # runs sharing a dir can both probe the same n, but rename
+            # refuses an existing destination, so the loser just claims
+            # the next index instead of overwrite-writing a parquet the
+            # winner's union plan is concurrently reading.
+            import uuid as _uuid
+
+            from music_dedupe_spark import fsutil
+
             spark = new_files.sparkSession
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-
-            def _fs_exists(p: str) -> bool:
-                hpath = jvm.org.apache.hadoop.fs.Path(p)
-                return hpath.getFileSystem(hconf).exists(hpath)
-
+            tmp = f"{cfg.checkpoint_dir}/.tmp_sig_store_{_uuid.uuid4().hex}"
+            sig_store.write.mode("overwrite").parquet(tmp)
             n = 0
-            while _fs_exists(f"{cfg.checkpoint_dir}/sig_store_{n:04d}"):
+            while True:
+                path = f"{cfg.checkpoint_dir}/sig_store_{n:04d}"
+                if not fsutil.exists(spark, path) and fsutil.rename(spark, tmp, path):
+                    break
                 n += 1
-            path = f"{cfg.checkpoint_dir}/sig_store_{n:04d}"
-            sig_store.write.mode("overwrite").parquet(path)
-            sig_store = new_files.sparkSession.read.parquet(path)
+            sig_store = spark.read.parquet(path)
             delta_store.unpersist()
             delta_store = None
         all_sigs = narrow.join(sig_store, "content_sha256").select("file_id", "sig")

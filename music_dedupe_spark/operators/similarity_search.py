@@ -171,21 +171,21 @@ def _assert_recall(
     if not truth:
         # empty corpus/query set: nothing to recall — vacuously fine
         return approx
-    # persist: the check collects the approx plan once; without a cache
-    # the caller's own collect would re-run the whole bucket join +
-    # re-rank (the result is k * N_QUERIES rows — tiny to cache)
-    approx = approx.persist()
-    got = {
-        (r["query_id"], r["neighbor_id"])
-        for r in approx.select("query_id", "neighbor_id").collect()
-    }
+    # The check must execute the approx plan; collect the FULL result
+    # (k * N_QUERIES rows — tiny) and hand the caller a local DataFrame
+    # rebuilt from those rows. A persist here would leak one cached
+    # DataFrame per invocation in a long-lived session (nothing ever
+    # unpersists it), and returning the live plan would re-run the whole
+    # bucket join + re-rank on the caller's own collect.
+    rows = approx.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(truth & got) / len(truth)
     if recall < floor:
         raise RuntimeError(
             f"ANN recall {recall:.3f} fell below the {floor} floor vs the "
             "brute-force top-k — approximate index regressed"
         )
-    return approx
+    return approx.sparkSession.createDataFrame(rows, schema=approx.schema)
 
 
 @register("ann_lsh_topk", None)  # approximate: rows-only driver check (self-asserting)

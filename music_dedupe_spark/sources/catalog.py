@@ -5,21 +5,34 @@ is unavailable in sandbox — same API shape").
 A table is a directory:
 
     <root>/<name>/
-        data/<uuid>/part-*.parquet      immutable data file sets
-        _versions/v00000001.json        manifest: ordered list of data sets
-        _versions/...                   one per committed snapshot
+        data/<uuid>/_b=<k>/part-*.parquet   immutable bucketed data sets
+        _versions/v00000001.json            manifest: ordered (path, bucket)
+        _versions/...                       one per committed snapshot
 
-A commit writes a new data set directory, then atomically renames a new
-manifest into ``_versions/`` — readers always see a complete snapshot
-(the analog of the reference's per-batch SQLite transactions,
-/root/reference/app/core.py:167-190, and of Iceberg's snapshot commits).
+Data is hash-BUCKETED on one column (``bucket_col`` — default ``repo``
+when present, else the first column; pinned in the manifest at first
+commit). A commit writes only NEW data-set directories and then
+atomically renames a new manifest into ``_versions/`` — readers always
+see a complete snapshot (the analog of the reference's per-batch SQLite
+transactions, /root/reference/app/core.py:167-190, and of Iceberg's
+snapshot commits).
+
+Buckets make row-level commits PARTITION-SCOPED copy-on-write, like
+Iceberg COW: ``delete_where`` / ``upsert`` rewrite only the buckets
+that contain affected rows and carry every other bucket's files over
+BY REFERENCE — a 100-row delete against a 100 TB table rewrites
+~1/n_buckets of it, not all of it (tests assert untouched buckets'
+parquet files are byte-identical across a delete commit). All manifest
+I/O goes through the Hadoop FileSystem of the root's scheme, so the
+catalog works on hdfs:// / s3a:// roots, not only the driver's disk.
+
 Provided operations mirror SURVEY §2.1's sink inventory:
 
     append            S4  (batch insert)
     overwrite         S9  (truncate + insert)
-    delete_where      S7/S8 (row-level delete -> rewrite w/ anti filter)
+    delete_where      S7/S8 (row-level delete -> bucket-scoped rewrite)
     upsert            S3/S13 (MERGE INTO by key: matched update,
-                      unmatched insert)
+                      unmatched insert; bucket-scoped rewrite)
     read(version=)    time travel over snapshots
     history/rollback  snapshot maintenance (S10 analog)
 """
@@ -27,28 +40,37 @@ Provided operations mirror SURVEY §2.1's sink inventory:
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from music_dedupe_spark import fsutil
+
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
-        self.path = os.path.join(root, name)
+        self.path = f"{root}/{name}"
         self.name = name
-        os.makedirs(os.path.join(self.path, "_versions"), exist_ok=True)
-        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        self.n_buckets = n_buckets  # pinned by the first commit's manifest
+        fsutil.mkdirs(spark, f"{self.path}/_versions")
+        fsutil.mkdirs(spark, f"{self.path}/data")
 
     # ---- snapshot bookkeeping -------------------------------------------
 
     def _versions(self) -> list[int]:
-        vdir = os.path.join(self.path, "_versions")
         return sorted(
-            int(f[1:9]) for f in os.listdir(vdir) if f.startswith("v") and f.endswith(".json")
+            int(f[1:9])
+            for f in fsutil.list_names(self.spark, f"{self.path}/_versions")
+            if f.startswith("v") and f.endswith(".json")
         )
 
     def current_version(self) -> int | None:
@@ -56,41 +78,96 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.path, "_versions", f"v{version:08d}.json")) as fh:
-            return json.load(fh)
+        return json.loads(
+            fsutil.read_text(
+                self.spark, f"{self.path}/_versions/v{version:08d}.json"
+            )
+        )
 
-    def _commit(self, data_sets: list[str], op: str, meta: dict | None = None) -> int:
-        version = (self.current_version() or 0) + 1
+    def _current_manifest(self) -> dict | None:
+        v = self.current_version()
+        return self._manifest(v) if v is not None else None
+
+    def _commit(
+        self,
+        data_sets: list[dict],
+        op: str,
+        bucket_col: str,
+        meta: dict | None = None,
+    ) -> int:
         manifest = {
-            "version": version,
             "op": op,
             "data_sets": data_sets,
+            "bucket_col": bucket_col,
+            "n_buckets": self.n_buckets,
             "ts": time.time(),
             "meta": meta or {},
         }
-        tmp = os.path.join(self.path, "_versions", f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        # atomic publish: rename is the commit point
-        os.replace(tmp, os.path.join(self.path, "_versions", f"v{version:08d}.json"))
-        return version
+        tmp = f"{self.path}/_versions/.tmp-{uuid.uuid4().hex}.json"
+        # atomic publish: FileSystem.rename is the commit point, and it
+        # REFUSES an existing destination — a concurrent committer that
+        # raced to the same version number loses the rename and retries
+        # at the next number instead of clobbering the winner.
+        version = (self.current_version() or 0) + 1
+        while True:
+            manifest["version"] = version
+            fsutil.write_text(self.spark, tmp, json.dumps(manifest))
+            if fsutil.rename(
+                self.spark, tmp, f"{self.path}/_versions/v{version:08d}.json"
+            ):
+                return version
+            version += 1
 
-    def _write_data_set(self, df: DataFrame) -> str:
+    # ---- bucketing -------------------------------------------------------
+
+    def _resolve_bucket_col(self, df: DataFrame) -> str:
+        cur = self._current_manifest()
+        if cur is not None and cur.get("bucket_col"):
+            self.n_buckets = int(cur.get("n_buckets", self.n_buckets))
+            return cur["bucket_col"]
+        return "repo" if "repo" in df.columns else df.columns[0]
+
+    def _bucket_expr(self, bucket_col: str):
+        return F.coalesce(
+            F.pmod(F.xxhash64(F.col(bucket_col).cast("string")), F.lit(self.n_buckets)),
+            F.lit(0),
+        ).cast("int")
+
+    def _write_data_sets(self, df: DataFrame, bucket_col: str) -> list[dict]:
+        """Write ``df`` as ONE bucketed data-set directory; return one
+        (path, bucket) entry per bucket actually present. ``_b`` is the
+        partition dir only — it is not stored in (or read back from)
+        the data files."""
         ds = uuid.uuid4().hex
-        df.write.mode("overwrite").parquet(os.path.join(self.path, "data", ds))
-        return ds
+        out = f"{self.path}/data/{ds}"
+        df.withColumn("_b", self._bucket_expr(bucket_col)).write.partitionBy(
+            "_b"
+        ).mode("overwrite").parquet(out)
+        return [
+            {"path": f"{ds}/{child}", "bucket": int(child.split("=")[1])}
+            for child in fsutil.list_names(self.spark, out)
+            if child.startswith("_b=")
+        ]
 
     # ---- reads ------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def _read_entries(self, entries: list[dict]) -> DataFrame:
+        paths = [f"{self.path}/data/{e['path']}" for e in entries]
+        return self.spark.read.parquet(*paths)
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read (time travel via ``version``). ``buckets``
+        prunes the scan to the named buckets — the manifest-level
+        partition pruning that point-lookups by bucket key use."""
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
-        sets = self._manifest(v)["data_sets"]
-        if not sets:
+        entries = self._manifest(v)["data_sets"]
+        if buckets is not None:
+            entries = [e for e in entries if e["bucket"] in set(buckets)]
+        if not entries:
             raise FileNotFoundError(f"table {self.name} v{v} is empty")
-        paths = [os.path.join(self.path, "data", ds) for ds in sets]
-        return self.spark.read.parquet(*paths)
+        return self._read_entries(entries)
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
@@ -98,49 +175,129 @@ class SnapshotTable:
     # ---- writes -----------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit([self._write_data_set(df)], "overwrite")
+        bc = self._resolve_bucket_col(df)
+        return self._commit(self._write_data_sets(df, bc), "overwrite", bc)
 
     def append(self, df: DataFrame) -> int:
-        cur = self.current_version()
-        prev = self._manifest(cur)["data_sets"] if cur else []
-        return self._commit(prev + [self._write_data_set(df)], "append")
+        bc = self._resolve_bucket_col(df)
+        cur = self._current_manifest()
+        prev = cur["data_sets"] if cur else []
+        return self._commit(prev + self._write_data_sets(df, bc), "append", bc)
+
+    def _affected_rewrite(
+        self, keep_cond, new_rows: DataFrame | None, affected: set[int], op: str
+    ) -> int:
+        """Shared bucket-scoped COW commit: buckets in ``affected`` are
+        rewritten as (current rows passing ``keep_cond``) ∪ ``new_rows``;
+        every other bucket's entries are carried over BY REFERENCE (their
+        parquet files are untouched — byte-identical across the commit)."""
+        cur = self._current_manifest()
+        bc = cur["bucket_col"]
+        keep_entries = [e for e in cur["data_sets"] if e["bucket"] not in affected]
+        touched = [e for e in cur["data_sets"] if e["bucket"] in affected]
+        parts: list[DataFrame] = []
+        if touched:
+            parts.append(self._read_entries(touched).filter(keep_cond))
+        if new_rows is not None:
+            parts.append(new_rows)
+        new_entries: list[dict] = []
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            new_entries = self._write_data_sets(df, bc)
+        return self._commit(keep_entries + new_entries, op, bc)
 
     def delete_where(self, condition) -> int:
-        """S7/S8: row-level delete as copy-on-write rewrite (what Iceberg
-        COW does under MERGE ... WHEN MATCHED THEN DELETE)."""
-        remaining = self.read().filter(~condition)
-        return self._commit([self._write_data_set(remaining)], "delete_where")
+        """S7/S8: row-level delete as PARTITION-SCOPED copy-on-write
+        (what Iceberg COW does under MERGE ... WHEN MATCHED THEN
+        DELETE, minus file-level granularity): one scan finds the
+        buckets containing matches, only those buckets are rewritten
+        with the anti filter, all other buckets carry over untouched."""
+        cur = self._current_manifest()
+        bc = cur["bucket_col"]
+        affected = {
+            r["b"]
+            for r in self.read()
+            .filter(condition)
+            .select(self._bucket_expr(bc).alias("b"))
+            .distinct()
+            .collect()
+        }
+        if not affected:
+            return self._commit(cur["data_sets"], "delete_where", bc)
+        return self._affected_rewrite(~condition, None, affected, "delete_where")
 
     def upsert(self, updates: DataFrame, key_cols: list[str]) -> int:
         """S3/S13: MERGE INTO — matched rows replaced, unmatched inserted
-        (INSERT OR REPLACE semantics, core.py:152-165). Implemented as
-        anti-join + union: the Delta/Iceberg-free MERGE emulation."""
-        cur = self.read()
-        kept = cur.join(updates.select(*key_cols), key_cols, "left_anti")
-        merged = kept.unionByName(updates.select(*cur.columns))
-        return self._commit([self._write_data_set(merged)], "upsert")
+        (INSERT OR REPLACE semantics, core.py:152-165), as a
+        bucket-scoped anti-join + union. Affected buckets = buckets of
+        the incoming rows ∪ buckets holding a matched key (the second
+        set matters when ``bucket_col`` is not part of the key: a
+        replaced row may live in a bucket no incoming row maps to)."""
+        cur_df = self.read()
+        cur = self._current_manifest()
+        bc = cur["bucket_col"]
+        updates = updates.select(*cur_df.columns)
+        keys = updates.select(*key_cols)
+        affected = {
+            r["b"]
+            for r in updates.select(self._bucket_expr(bc).alias("b")).distinct().collect()
+        } | {
+            r["b"]
+            for r in cur_df.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(self._bucket_expr(bc).alias("b"))
+            .distinct()
+            .collect()
+        }
+        # keep_cond: current rows whose key is NOT being replaced. An
+        # anti-join is not a Column predicate, so the rewrite closes over
+        # a broadcast IN-set via a left_anti join expressed per-bucket:
+        # _affected_rewrite needs a Column, so mark matches with a join.
+        marked = (
+            self._read_entries(
+                [e for e in cur["data_sets"] if e["bucket"] in affected]
+            ).join(F.broadcast(keys.withColumn("_hit", F.lit(True))), key_cols, "left")
+            if affected
+            else None
+        )
+        cur_keep = (
+            marked.filter(F.col("_hit").isNull()).drop("_hit") if marked is not None else None
+        )
+        keep_entries = [e for e in cur["data_sets"] if e["bucket"] not in affected]
+        parts = [p for p in (cur_keep, updates) if p is not None]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return self._commit(
+            keep_entries + self._write_data_sets(df, bc), "upsert", bc
+        )
 
     def rollback(self, version: int) -> int:
-        sets = self._manifest(version)["data_sets"]
-        return self._commit(sets, "rollback", {"to": version})
+        m = self._manifest(version)
+        return self._commit(
+            m["data_sets"], "rollback", m["bucket_col"], {"to": version}
+        )
 
     def compact(self) -> int:
         """S10 maintenance: rewrite all live data sets into one
         (rewrite_data_files analog); old sets stay for time travel."""
-        return self._commit([self._write_data_set(self.read())], "compact")
+        bc = self._current_manifest()["bucket_col"]
+        return self._commit(self._write_data_sets(self.read(), bc), "compact", bc)
 
 
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsutil.mkdirs(spark, root)
 
     def table(self, name: str) -> SnapshotTable:
         return SnapshotTable(self.spark, self.root, name)
 
     def tables(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d, "_versions"))
+            d
+            for d in fsutil.list_names(self.spark, self.root)
+            if fsutil.exists(self.spark, f"{self.root}/{d}/_versions")
         )

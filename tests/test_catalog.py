@@ -54,7 +54,72 @@ def test_rollback_and_compact(spark, cat):
     t.append(_df(spark, [(3, "c")]))
     t.compact()
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
-    assert len(t.history()[-1]["data_sets"]) == 1
+    # all live rows rewritten into ONE data-set directory (one entry per
+    # bucket, all sharing the same data-set uuid)
+    assert len({e["path"].split("/")[0] for e in t.history()[-1]["data_sets"]}) == 1
+
+
+def test_delete_rewrites_only_affected_buckets(spark, tmp_path):
+    """Partition-scoped COW: a row-level delete rewrites ONLY the
+    buckets containing matches; every other bucket's entries are carried
+    over by reference and their parquet files stay byte-identical
+    (Iceberg-COW semantics — a 100-row delete against a 100 TB table
+    must not rewrite 100 TB)."""
+    import glob
+
+    from music_dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("t_cow")
+    t.overwrite(_df(spark, [(i, chr(96 + i)) for i in range(1, 21)]))
+    m1 = t.history()[-1]
+    data_glob = str(tmp_path / "wh" / "t_cow" / "data" / "**" / "*.parquet")
+    before = {p: open(p, "rb").read() for p in glob.glob(data_glob, recursive=True)}
+
+    t.delete_where(F.col("k") == 2)
+    m2 = t.history()[-1]
+    e1 = {(e["path"], e["bucket"]) for e in m1["data_sets"]}
+    e2 = {(e["path"], e["bucket"]) for e in m2["data_sets"]}
+    carried, new = e1 & e2, e2 - e1
+    assert carried, "untouched buckets must carry over by reference"
+    assert len({b for _, b in new}) == 1, f"only k=2's bucket rewritten, got {new}"
+    dropped_buckets = {b for _, b in e1 - e2}
+    assert dropped_buckets == {b for _, b in new}
+    for p, blob in before.items():
+        assert open(p, "rb").read() == blob, f"existing data file rewritten: {p}"
+    assert sorted(r["k"] for r in t.read().collect()) == [1] + list(range(3, 21))
+    # prior snapshot still reads all 20 (time travel over the carried files)
+    assert t.read(version=1).count() == 20
+
+
+def test_upsert_replaces_matched_key_in_other_bucket(spark, cat):
+    """When bucket_col (repo) is NOT part of the merge key, a replaced
+    row may live in a bucket no incoming row maps to — the matched-key
+    scan must pull that bucket into the rewrite set, else the old row
+    survives as a duplicate key."""
+    rows = [("repoA", 7, "old"), ("repoA", 8, "keep"), ("repoB", 9, "keep")]
+    t = cat.table("t_xbucket")
+    t.overwrite(spark.createDataFrame(rows, "repo string, id int, val string"))
+    t.upsert(
+        spark.createDataFrame([("repoB", 7, "new")], "repo string, id int, val string"),
+        ["id"],
+    )
+    got = {(r["repo"], r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {("repoB", 7, "new"), ("repoA", 8, "keep"), ("repoB", 9, "keep")}
+
+
+def test_catalog_file_uri_root(spark, tmp_path):
+    """Manifest I/O through an explicit file:// URI — the catalog's
+    bookkeeping must go through the Hadoop FileSystem of the root's
+    scheme (hdfs/s3a-safe), not driver-local os.path."""
+    from music_dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, f"file://{tmp_path}/wh")
+    t = cat.table("t_uri")
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.col("k") == 1)
+    assert [r["k"] for r in t.read().collect()] == [2]
+    assert cat.tables() == ["t_uri"]
 
 
 def test_catalog_listing(spark, cat):

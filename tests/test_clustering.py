@@ -90,6 +90,58 @@ def test_cc_checkpoint_retention(spark, tmp_path):
     assert got == want
 
 
+def test_cc_checkpoint_file_uri(spark, tmp_path):
+    """Checkpoint/resume/retention/metrics through an explicit file://
+    URI — the helpers must go through the Hadoop FileSystem of the
+    checkpoint dir's scheme (a driver-local os.path probe would see
+    "absent" for every remote URI: resume would silently restart from
+    scratch and retention would never delete anything)."""
+    import os
+
+    edges = [e for e in _random_edges(6) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    ckpt = f"file://{tmp_path}/cc"
+    want = {
+        r["member_id"]: r["entity_id"]
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    local = tmp_path / "cc"
+    iters = [n for n in os.listdir(local) if n.startswith("iter_")]
+    assert len(iters) == 1  # retention ran through the file:// FS
+    assert (local / "_metrics.jsonl").exists()  # metrics too
+    assert latest_checkpoint(ckpt, spark) is not None
+    resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
+    got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}
+    assert got == want
+
+
+def test_cc_retention_expires_stale_higher_indices(spark, tmp_path):
+    """A reused checkpoint dir may hold HIGHER-indexed snapshots from a
+    previous longer run; retention must expire those too, else
+    latest_checkpoint (max index) resumes a later run from a stale edge
+    list while the fresh fixpoint gets deleted."""
+    import os
+
+    ckpt = str(tmp_path / "cc")
+    # leftover of a previous, longer run: a bogus complete snapshot at
+    # a high index whose edges belong to a DIFFERENT graph
+    stale = spark.createDataFrame(
+        [("zz1", "zz2")], "u string, v string"
+    )
+    stale.write.parquet(f"{ckpt}/iter_0007")
+    edges = [e for e in _random_edges(8) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    want = {
+        r["member_id"]: r["entity_id"]
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    iters = sorted(n for n in os.listdir(ckpt) if n.startswith("iter_"))
+    assert len(iters) == 1 and iters[0] != "iter_0007", iters
+    resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
+    got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}
+    assert got == want
+
+
 def test_cc_checkpoint_resume(spark, tmp_path):
     # kill the loop after one iteration; resume must produce identical
     # clusters (FIXTURES.md §5.6, north rule resumability)
