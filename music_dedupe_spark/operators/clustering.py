@@ -27,13 +27,13 @@ from music_dedupe_spark import fsutil
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(
-            F.least("left_id", "right_id").alias("u"), F.greatest("left_id", "right_id").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
-    )
+    """Canonical (u <= v) dedup'd edges. Self-loops are KEPT here (the
+    node-set derivation needs them — a (x, x) input edge still names a
+    node that must appear in the output as a singleton); the star loop
+    filters them out itself."""
+    return edges.select(
+        F.least("left_id", "right_id").alias("u"), F.greatest("left_id", "right_id").alias("v")
+    ).dropDuplicates(["u", "v"])
 
 
 def _large_star(edges_uv: DataFrame) -> DataFrame:
@@ -89,16 +89,23 @@ def connected_components(
     entity_id is the component's minimum member id (deterministic
     canonical representative — FIXTURES.md §3)."""
     spark = edges.sparkSession
-    cur = _canonical(edges).localCheckpoint()
+    # ONE eager lineage cut of the canonical edge list, and EVERYTHING
+    # downstream — the star loop AND the final node-set/assembly joins —
+    # derives from this leaf. Deriving all_nodes from the raw ``edges``
+    # argument instead re-traverses the caller's whole logical tree
+    # (candidate generation, scoring, prior runs ...): measured ~10 s of
+    # pure driver/Catalyst analysis per call on a deep incremental plan,
+    # with every stage sub-second.
+    raw = _canonical(edges).localCheckpoint()
+    cur = raw.filter(F.col("u") != F.col("v"))
     start_iter = 0
 
     if checkpoint_dir and resume:
         it = latest_checkpoint(checkpoint_dir)
         if it is not None:
-            cur = spark.read.parquet(f"{checkpoint_dir}/iter_{it:04d}").select(
-                F.col("u").alias("left_id"), F.col("v").alias("right_id")
-            )
-            cur = _canonical(cur).localCheckpoint()
+            # the parquet read is already a plan leaf — no extra cut needed
+            snap = spark.read.parquet(f"{checkpoint_dir}/iter_{it:04d}")
+            cur = snap.filter(F.col("u") != F.col("v"))
             start_iter = it + 1
 
     prev_sum: tuple[int, int] | None = None
@@ -170,9 +177,12 @@ def connected_components(
     roots = cur.select(F.col("u").alias("member_id")).distinct().join(
         labels.select(F.col("member_id")), "member_id", "left_anti"
     ).withColumn("entity_id", F.col("member_id"))
+    # node set from the checkpointed canonical leaf (NOT the raw edges
+    # argument — see the lineage-cut comment above); self-loops were
+    # kept in ``raw`` precisely so their nodes still surface here
     all_nodes = (
-        edges.select(F.col("left_id").alias("member_id"))
-        .unionAll(edges.select(F.col("right_id").alias("member_id")))
+        raw.select(F.col("u").alias("member_id"))
+        .unionAll(raw.select(F.col("v").alias("member_id")))
         .distinct()
     )
     assigned = labels.unionByName(roots)

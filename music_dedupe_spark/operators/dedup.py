@@ -175,21 +175,66 @@ def dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d).orderBy("left_doc", "right_doc")
 
 
-@register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check
+#: Candidate-recall floor the self-asserting LSH entry enforces against
+#: the high-similarity truth pairs the value-checked n-gram oracle
+#: defines (5-gram Jaccard >= 0.7). The 128-perm/32-band s-curve puts
+#: collision probability at ~0.9998 for J=0.7, so healthy recall is
+#: ~1.0; the floor guards REGRESSIONS (a broken bander proposes ~none
+#: of them), not tuning noise.
+LSH_RECALL_FLOOR = 0.6
+LSH_TRUTH_JACCARD = 0.7
+
+
+@register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check (self-asserting)
 def dedup_minhash_lsh(spark, sf):
     """MinHash-LSH near-dup candidates on documents (the scale path for
     dedup_ngram_jaccard: signatures are fixed-width regardless of doc
-    size, banding makes the join linear in candidates)."""
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("file_id"), F.col("text").alias("content")
-    )
+    size, banding makes the join linear in candidates). The driver has
+    no SQL oracle for the seeded sketch, so the entry SELF-ASSERTS: the
+    candidate set must cover >= LSH_RECALL_FLOOR of the pairs with
+    5-gram Jaccard >= 0.7 (computed by the same machinery the
+    value-checked dedup_ngram_jaccard oracle validates) — a banding
+    regression raises loudly instead of passing as "rows >= 0"
+    (tests/test_ann.py pins the failure with an injected regression)."""
+    d = _t(spark, sf, "documents")
     from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(d, num_perm=128, bands=32, shingle_k=5)
-    return pairs.select(
+    pairs = minhash_lsh_pairs(
+        d.select(
+            F.col("doc_id").cast("string").alias("file_id"),
+            F.col("text").alias("content"),
+        ),
+        num_perm=128,
+        bands=32,
+        shingle_k=5,
+    )
+    # capture the persisted-handle list BEFORE .select() (the attribute
+    # does not survive DataFrame transformations — round-3 lesson)
+    pair_deps = getattr(pairs, "_mds_persisted", [])
+    out = pairs.select(
         F.col("left_id").cast("long").alias("left_doc"),
         F.col("right_id").cast("long").alias("right_doc"),
     ).orderBy("left_doc", "right_doc")
+    rows = out.collect()
+    truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
+    truth_deps = getattr(truth_full, "_mds_persisted", [])
+    truth_rows = truth_full.select("left_doc", "right_doc").collect()
+    for dep in pair_deps + truth_deps:
+        dep.unpersist()
+    if truth_rows:
+        # pair canonical order differs between the two sides (LSH pairs
+        # are least/greatest in file_id STRING order, truth pairs in
+        # doc_id numeric order) — normalize before comparing
+        cand = {(min(r["left_doc"], r["right_doc"]), max(r["left_doc"], r["right_doc"])) for r in rows}
+        truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
+        recall = len(truth & cand) / len(truth)
+        if recall < LSH_RECALL_FLOOR:
+            raise RuntimeError(
+                f"LSH candidate recall {recall:.3f} fell below the "
+                f"{LSH_RECALL_FLOOR} floor vs J>={LSH_TRUTH_JACCARD} truth "
+                f"pairs ({len(truth & cand)}/{len(truth)}) — banding regressed"
+            )
+    return spark.createDataFrame(rows, schema=out.schema)
 
 
 import re

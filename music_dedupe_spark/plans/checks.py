@@ -57,5 +57,26 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)
 
 
+def exchanges(df: DataFrame) -> list[dict]:
+    """One dict per Exchange node of the formatted plan:
+    ``cols`` = attribute names crossing the exchange (its Input list),
+    ``args`` = the Arguments line (partitioning expression). The raw
+    material for bytes-per-shuffle assertions — e.g. "the wide array
+    column appears in no pair-row exchange"."""
+    txt = explain_str(df)
+    out: list[dict] = []
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)*?)\n", txt):
+        block = m.group(1)
+        input_part = block.split("Arguments")[0]
+        args = re.search(r"Arguments: (.*)", block)
+        out.append(
+            {
+                "cols": set(re.findall(r"(\w+)#\d+", input_part)),
+                "args": args.group(1) if args else "",
+            }
+        )
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     return explain_str(df).count("WholeStageCodegen")

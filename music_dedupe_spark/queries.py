@@ -268,13 +268,35 @@ def cube_counts(spark, sf):
     )
 
 
+#: Relative HLL++ error the self-asserting approx_distinct entry
+#: tolerates vs the exact countDistinct computed alongside it (the same
+#: ±5% the repo accuracy test uses).
+APPROX_DISTINCT_TOL = 0.05
+
+
+def _assert_rows_local(df, check, what: str):
+    """Self-asserting rows-only entry helper: collect the (small)
+    result, run ``check(rows)`` (returns an error string or None), and
+    hand back a LOCAL DataFrame of the same rows — the sketch regression
+    raises loudly instead of passing the driver's rows-only gate, and
+    the caller's collect doesn't re-run the plan."""
+    rows = df.collect()
+    err = check(rows)
+    if err:
+        raise RuntimeError(f"{what}: {err}")
+    return df.sparkSession.createDataFrame(rows, schema=df.schema)
+
+
 @register("approx_distinct_parts", None)  # sketch: rows-only driver check
 def approx_distinct_parts(spark, sf):
     """approx_count_distinct (HLL++) — the cheap block-cardinality
     profiling primitive for the blocking layer (SURVEY §2.4 note).
-    Sketch output differs across engines -> rows-only check; accuracy
-    asserted in tests/test_entry_contract.py (within 5% of exact)."""
-    return (
+    Sketch output differs across engines -> rows-only driver check, but
+    the entry SELF-ASSERTS: each group's sketch estimate must land
+    within ±5% of the exact countDistinct computed alongside it, so an
+    HLL regression raises instead of passing as "rows >= 0" (the same
+    tolerance tests/test_entry_contract.py pins)."""
+    out = (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
@@ -283,6 +305,18 @@ def approx_distinct_parts(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+    def check(rows):
+        for r in rows:
+            exact = r["exact_parts"]
+            if exact and abs(r["approx_parts"] - exact) / exact > APPROX_DISTINCT_TOL:
+                return (
+                    f"group {r['l_returnflag']!r}: approx {r['approx_parts']} "
+                    f"vs exact {exact} (> {APPROX_DISTINCT_TOL:.0%} off)"
+                )
+        return None
+
+    return _assert_rows_local(out, check, "approx_count_distinct drifted")
 
 
 @register(

@@ -83,3 +83,41 @@ def test_simhash_duplicate_tokens_vote_multiply():
     # with 3x 'x' votes, ties break toward x's bits: must equal hashing x alone
     if a != b:
         assert b == simhash64(["x"])
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lsh_truth_set_nonempty(spark):
+    """Guards the dedup_minhash_lsh self-assert from going vacuous: the
+    driver corpus must contain at least one 5-gram-Jaccard >= 0.7 truth
+    pair, else the in-entry recall floor checks nothing."""
+    from music_dedupe_spark.operators.dedup import LSH_TRUTH_JACCARD, ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    t = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
+    deps = getattr(t, "_mds_persisted", [])
+    n = t.count()
+    for dep in deps:
+        dep.unpersist()
+    assert n > 0
+
+
+def test_lsh_dedup_entry_fails_loudly_on_banding_regression(spark, monkeypatch):
+    """The driver's check for the seeded LSH entry is rows-only, so the
+    query self-asserts candidate recall vs the J>=0.7 n-gram truth set.
+    Inject a banding regression (a bander that proposes no pairs) and
+    the registered entry must RAISE instead of returning zero rows."""
+    import pytest
+
+    import music_dedupe_spark.operators.blocking as blocking
+    import music_dedupe_spark.operators.dedup as dd
+
+    def broken(df, **kw):
+        return df.sparkSession.createDataFrame(
+            [], "left_id string, right_id string, channel string"
+        )
+
+    monkeypatch.setattr(blocking, "minhash_lsh_pairs", broken)
+    with pytest.raises(RuntimeError, match="recall"):
+        dd.dedup_minhash_lsh(spark, SF)

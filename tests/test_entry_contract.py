@@ -103,3 +103,19 @@ def test_approx_distinct_accuracy(spark):
     rows = entry_mod.queries()["approx_distinct_parts"](spark, SF).collect()
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"] < 0.05
+
+
+def test_assert_rows_local_raises_and_rebuilds(spark):
+    """The self-asserting rows-only helper must raise on a failed check
+    and otherwise hand back a LOCAL DataFrame with identical rows/schema
+    (so the driver's collect doesn't re-run the plan)."""
+    import pytest
+
+    from music_dedupe_spark.queries import _assert_rows_local
+
+    df = spark.createDataFrame([(1, "a")], "x int, s string")
+    with pytest.raises(RuntimeError, match="ctx: bad"):
+        _assert_rows_local(df, lambda rows: "bad", "ctx")
+    out = _assert_rows_local(df, lambda rows: None, "ctx")
+    assert out.schema == df.schema
+    assert [tuple(r) for r in out.collect()] == [(1, "a")]

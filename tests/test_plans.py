@@ -99,3 +99,60 @@ def test_repo_partitioned_scan_prunes_partitions(spark, files_df, tmp_path):
     # is resolved by directory pruning
     want = files_df.filter(F.col("repo") == one_repo).count()
     assert scoped.count() == want
+
+
+def test_scoring_cascade_exchange_shape(spark, files_df):
+    """Pins the two hard-won plan properties of the scoring cascade
+    against future edits, in the non-broadcast (sort-merge) regime that
+    a 10^12-pair corpus would actually plan:
+
+    1. the LEFT token arrays never cross a pair-row exchange at all
+       (they are joined after `_ship` is computable, and the join output
+       feeds the Arrow kernel with no further shuffle);
+    2. the RIGHT token arrays cross a pair-row exchange only on plans
+       where `_ship` has already been computed (i.e. after the column
+       was nulled for implausible pairs — only plausible pairs move
+       array BYTES);
+    3. every pair-side shuffle partitions on a BIGINT id (the internal
+       8-byte fid space — a string key here would silently re-inflate
+       bytes-per-pair ~4x);
+    4. exactly one Arrow hop (the fused scoring kernel)."""
+    import re
+
+    from music_dedupe_spark.operators import blocking, scoring
+    from music_dedupe_spark.pipeline import ingest, pair_view
+    from music_dedupe_spark.plans import explain_str
+    from music_dedupe_spark.plans.checks import exchanges
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pv = pair_view(ingest(files_df))
+        pairs = blocking.exact_key_pairs(pv).select("left_id", "right_id")
+        scored = scoring.score_candidates(pairs, pv)
+        exs = exchanges(scored)
+        assert exs, "expected sort-merge exchanges with broadcast disabled"
+        pair_exs = [e for e in exs if {"left_id", "right_id"} <= e["cols"]]
+        assert pair_exs, "expected at least one pair-row exchange"
+        assert not any("token_hashes_l" in e["cols"] for e in pair_exs), (
+            "left token arrays crossed a pair-row exchange"
+        )
+        for e in pair_exs:
+            if "token_hashes_r" in e["cols"]:
+                assert "_ship" in e["cols"], (
+                    "right token arrays crossed a pair-row exchange before "
+                    "the _ship nulling"
+                )
+        keys = [
+            k
+            for e in pair_exs
+            for k in re.findall(r"hashpartitioning\((?:left|right)_id#\d+(\w*)", e["args"])
+        ]
+        assert keys and all(k == "L" for k in keys), (
+            f"pair shuffles must probe on bigint fids, got suffixes {keys}"
+        )
+        txt = explain_str(scored)
+        assert len(re.findall(r"MapInArrow|ArrowEvalPython|PythonMapInArrow", txt)) >= 1
+        assert txt.count("Exchange") > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
