@@ -70,6 +70,36 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def claim_versioned_dir(
+    spark: SparkSession, tmp: str, parent: str, prefix: str
+) -> str:
+    """Atomically publish the directory at ``tmp`` as the next free
+    ``{parent}/{prefix}_NNNN`` and return that path.
+
+    Hadoop ``FileSystem.rename`` semantics make the naive
+    probe-then-rename loop unsafe for DIRECTORIES: renaming onto a
+    destination dir that appeared concurrently does NOT fail — it moves
+    the source INSIDE the destination and returns True (verified on the
+    local FS), so a losing racer would "succeed" while its data sits
+    nested and invisible. After every rename this helper therefore
+    checks for its own basename nested under the target; if found, the
+    claim was lost — the nested dir becomes the new source and the next
+    index is tried. File-onto-file renames (manifests) don't need this:
+    those DO refuse an existing destination."""
+    src = tmp
+    base = tmp.rstrip("/").rsplit("/", 1)[-1]
+    n = 0
+    while True:
+        target = f"{parent}/{prefix}_{n:04d}"
+        if not exists(spark, target):
+            rename(spark, src, target)
+            nested = f"{target}/{base}"
+            if not exists(spark, nested):
+                return target
+            src = nested  # lost the race: our dir was nested, re-claim
+        n += 1
+
+
 def append_line(spark: SparkSession, path: str, line: str) -> None:
     """Append one line to a (small) metrics/log file. Plain
     ``FileSystem.append`` is unsupported on several stores (s3a, some

@@ -100,8 +100,16 @@ def connected_components(
     cur = raw.filter(F.col("u") != F.col("v"))
     start_iter = 0
 
+    if checkpoint_dir and not resume:
+        # a FRESH run in a reused dir must not inherit another run's
+        # snapshots: clear them up front, so even if this run dies (or
+        # exhausts max_iterations and raises), a later resume can only
+        # find THIS run's iter_* — never a stale higher-indexed leftover
+        # from a previous longer run, which latest_checkpoint (max
+        # index) would silently prefer.
+        _expire_iterations(spark, checkpoint_dir, keep=-1)
     if checkpoint_dir and resume:
-        it = latest_checkpoint(checkpoint_dir)
+        it = latest_checkpoint(checkpoint_dir, spark)
         if it is not None:
             # the parquet read is already a plan leaf — no extra cut needed
             snap = spark.read.parquet(f"{checkpoint_dir}/iter_{it:04d}")
@@ -204,9 +212,16 @@ def connected_components(
         # the assignment permanently unrecomputable for every downstream
         # consumer. With a checkpoint dir available the assignment is
         # persisted like the iteration snapshots — durable, and still a
-        # plan leaf.
-        path = f"{checkpoint_dir}/assignment"
-        result.write.mode("overwrite").parquet(path)
+        # plan leaf. The path is UNIQUE per call (not a fixed name with
+        # mode=overwrite): the returned DataFrame is a lazy read, and a
+        # later run sharing the dir — chained incremental folds — must
+        # not clobber the files a previously returned assignment still
+        # reads from. Superseded assignment_* dirs are dead once their
+        # consumers are done and may be cleaned externally.
+        import uuid
+
+        path = f"{checkpoint_dir}/assignment_{uuid.uuid4().hex[:8]}"
+        result.write.parquet(path)
         return spark.read.parquet(path)
     return result.localCheckpoint()
 

@@ -183,6 +183,44 @@ def dedup_ngram_jaccard(spark, sf):
 #: of them), not tuning noise.
 LSH_RECALL_FLOOR = 0.6
 LSH_TRUTH_JACCARD = 0.7
+#: ~How many CANARY documents the self-assert plants: a deterministic
+#: hash-sample of real docs is copied with the last ~3% of characters
+#: cut (5-gram Jaccard ≈ 0.97 ≫ the s-curve knee) under NEGATIVE ids,
+#: unioned into the LSH input, and the bander must re-find >=
+#: LSH_RECALL_FLOOR of the (original, copy) pairs. Unlike an organic
+#: n-gram truth pass, the planted truth costs O(canaries) at ANY corpus
+#: size (no quadratic shingle join) and is never empty or tiny — at
+#: sf0.1 the organic J>=0.7 truth is 4 pairs, too few for a stable
+#: floor. Canary pairs are filtered out of the returned candidates.
+LSH_CANARY_COUNT = 250
+#: The organic n-gram truth pass (recall vs REAL high-similarity pairs,
+#: the round-4 design) still runs when the corpus text volume is small
+#: enough that its shingle join is cheap — in particular at the
+#: driver's sf0.01 correctness sweep (~150k chars). Above this many
+#: total characters only the bounded canary assert runs: the organic
+#: pass costs about as much as the whole dedup_ngram_jaccard entry
+#: (measured ~8 s at sf0.1's 1.5M chars — it IS that join at k=5).
+LSH_ORGANIC_TRUTH_MAX_CHARS = 500_000
+
+
+def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
+    """Deterministic planted near-duplicates for the LSH self-assert:
+    ~LSH_CANARY_COUNT hash-picked docs copied with the last ~3% of
+    characters cut, under id ``-(doc_id)-1`` (negative — disjoint from
+    real non-negative doc_ids, round-trips the long<->string cast).
+    Returns (canary frame in (file_id, content) shape, picked ids)."""
+    mod = max(1, n_docs // LSH_CANARY_COUNT)
+    picked = d.filter(
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(mod)) == 0
+    )
+    canaries = picked.select(
+        (-F.col("doc_id") - 1).cast("string").alias("file_id"),
+        F.expr(
+            "substring(text, 1, greatest(cast(length(text) * 0.97 as int), 5))"
+        ).alias("content"),
+    )
+    planted = [r["doc_id"] for r in picked.select("doc_id").collect()]
+    return canaries, planted
 
 
 @register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check (self-asserting)
@@ -190,20 +228,36 @@ def dedup_minhash_lsh(spark, sf):
     """MinHash-LSH near-dup candidates on documents (the scale path for
     dedup_ngram_jaccard: signatures are fixed-width regardless of doc
     size, banding makes the join linear in candidates). The driver has
-    no SQL oracle for the seeded sketch, so the entry SELF-ASSERTS: the
-    candidate set must cover >= LSH_RECALL_FLOOR of the pairs with
-    5-gram Jaccard >= 0.7 (computed by the same machinery the
-    value-checked dedup_ngram_jaccard oracle validates) — a banding
-    regression raises loudly instead of passing as "rows >= 0"
-    (tests/test_ann.py pins the failure with an injected regression)."""
+    no SQL oracle for the seeded sketch, so the entry SELF-ASSERTS two
+    ways instead of passing as "rows >= 0":
+
+    - always: ~LSH_CANARY_COUNT planted (original, truncated-copy)
+      pairs at Jaccard ≈ 0.97 must be re-found at >= LSH_RECALL_FLOOR —
+      O(canaries) cost at ANY corpus size, truth never empty;
+    - on small corpora (<= LSH_ORGANIC_TRUTH_MAX_CHARS total text,
+      which includes the driver's sf0.01 sweep): candidate recall vs
+      the ORGANIC pairs with 5-gram Jaccard >= LSH_TRUTH_JACCARD,
+      computed by the same machinery the value-checked
+      dedup_ngram_jaccard oracle validates. (Its shingle join is
+      quadratic per block, so it is gated, not default-on — and at
+      sf0.1 the organic truth is 4 pairs, too few for a stable floor.)
+
+    A banding regression raises loudly either way
+    (tests/test_dedup_ops.py pins it with an injected regression).
+    Canary rows never appear in the returned candidates."""
     d = _t(spark, sf, "documents")
     from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
 
+    stats = d.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    n_docs, total_chars = stats["n"], stats["chars"] or 0
+    canaries, planted = _lsh_canaries(d, n_docs)
     pairs = minhash_lsh_pairs(
         d.select(
             F.col("doc_id").cast("string").alias("file_id"),
             F.col("text").alias("content"),
-        ),
+        ).unionByName(canaries),
         num_perm=128,
         bands=32,
         shingle_k=5,
@@ -215,25 +269,41 @@ def dedup_minhash_lsh(spark, sf):
         F.col("left_id").cast("long").alias("left_doc"),
         F.col("right_id").cast("long").alias("right_doc"),
     ).orderBy("left_doc", "right_doc")
-    rows = out.collect()
-    truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
-    truth_deps = getattr(truth_full, "_mds_persisted", [])
-    truth_rows = truth_full.select("left_doc", "right_doc").collect()
+    all_rows = out.collect()
+    cand = {
+        (min(r["left_doc"], r["right_doc"]), max(r["left_doc"], r["right_doc"]))
+        for r in all_rows
+    }
+    if planted:
+        truth_c = {(-o - 1, o) for o in planted}  # canonical: copy id < 0 <= o
+        recall_c = len(truth_c & cand) / len(truth_c)
+        if recall_c < LSH_RECALL_FLOOR:
+            raise RuntimeError(
+                f"LSH candidate recall {recall_c:.3f} fell below the "
+                f"{LSH_RECALL_FLOOR} floor vs {len(truth_c)} planted "
+                f"J≈0.97 canary pairs ({len(truth_c & cand)} found) — "
+                f"banding regressed"
+            )
+    truth_deps: list = []
+    if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
+        truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
+        truth_deps = getattr(truth_full, "_mds_persisted", [])
+        truth_rows = truth_full.select("left_doc", "right_doc").collect()
+        if truth_rows:
+            # truth pairs are canonical in doc_id NUMERIC order; cand
+            # was normalized the same way above
+            truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
+            recall = len(truth & cand) / len(truth)
+            if recall < LSH_RECALL_FLOOR:
+                raise RuntimeError(
+                    f"LSH candidate recall {recall:.3f} fell below the "
+                    f"{LSH_RECALL_FLOOR} floor vs J>={LSH_TRUTH_JACCARD} "
+                    f"organic truth pairs ({len(truth & cand)}/{len(truth)})"
+                    f" — banding regressed"
+                )
     for dep in pair_deps + truth_deps:
         dep.unpersist()
-    if truth_rows:
-        # pair canonical order differs between the two sides (LSH pairs
-        # are least/greatest in file_id STRING order, truth pairs in
-        # doc_id numeric order) — normalize before comparing
-        cand = {(min(r["left_doc"], r["right_doc"]), max(r["left_doc"], r["right_doc"])) for r in rows}
-        truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
-        recall = len(truth & cand) / len(truth)
-        if recall < LSH_RECALL_FLOOR:
-            raise RuntimeError(
-                f"LSH candidate recall {recall:.3f} fell below the "
-                f"{LSH_RECALL_FLOOR} floor vs J>={LSH_TRUTH_JACCARD} truth "
-                f"pairs ({len(truth & cand)}/{len(truth)}) — banding regressed"
-            )
+    rows = [r for r in all_rows if r["left_doc"] >= 0 and r["right_doc"] >= 0]
     return spark.createDataFrame(rows, schema=out.schema)
 
 

@@ -284,12 +284,12 @@ def incremental_link(
             # Hadoop FileSystem of the checkpoint URI — a driver-local
             # os.path check would always see "absent" on hdfs://s3a://
             # dirs and re-target sig_store_0000, overwriting the very
-            # store the union's input plan is reading. The PUBLISH is a
-            # write-to-temp + FileSystem.rename: two concurrent delta
-            # runs sharing a dir can both probe the same n, but rename
-            # refuses an existing destination, so the loser just claims
-            # the next index instead of overwrite-writing a parquet the
-            # winner's union plan is concurrently reading.
+            # store the union's input plan is reading. The PUBLISH is
+            # write-to-temp + fsutil.claim_versioned_dir, which handles
+            # the concurrent-racer case including Hadoop's
+            # dir-rename-NESTS-instead-of-failing semantics — a loser
+            # re-claims the next index with its own data instead of
+            # silently dropping it.
             import uuid as _uuid
 
             from music_dedupe_spark import fsutil
@@ -297,12 +297,9 @@ def incremental_link(
             spark = new_files.sparkSession
             tmp = f"{cfg.checkpoint_dir}/.tmp_sig_store_{_uuid.uuid4().hex}"
             sig_store.write.mode("overwrite").parquet(tmp)
-            n = 0
-            while True:
-                path = f"{cfg.checkpoint_dir}/sig_store_{n:04d}"
-                if not fsutil.exists(spark, path) and fsutil.rename(spark, tmp, path):
-                    break
-                n += 1
+            path = fsutil.claim_versioned_dir(
+                spark, tmp, cfg.checkpoint_dir, "sig_store"
+            )
             sig_store = spark.read.parquet(path)
             delta_store.unpersist()
             delta_store = None

@@ -49,6 +49,12 @@ class ScoringConfig:
     high_jaccard: float = 0.9
 
 
+#: Hex chars of the sha256 prefix the pair joins carry for the
+#: exact_content equality (16 hex = 8 bytes; see the collision math at
+#: the use site). Module-level so BENCH/ab_sha_probe.py can reproduce
+#: the 16-byte round-4 baseline it was measured against.
+SHA_PREFIX_HEX_CHARS = 16
+
 NARROW_COLS = ("file_id", "norm_name", "content_sha256")
 FEATURE_COLS = ("file_id", "norm_name", "tokens", "content_sha256", "size_chars", "quality")
 
@@ -140,13 +146,17 @@ def score_candidates(
     # property-checks the implication). Exact-content pairs skip
     # jaccard entirely, so they don't ship arrays either.
     # shas ride the pair joins only for the exact_content equality test:
-    # a 16-byte unhexed PREFIX quarters that traffic vs 64-char hex
-    # strings. Equality of 128-bit prefixes is collision-safe for this
-    # purpose: a false exact_content needs two distinct contents whose
-    # sha256 agree in the first 128 bits among the CANDIDATE pairs —
-    # probability ~ n_pairs / 2^128, immaterial at any conceivable pair
-    # volume (10^18 pairs -> ~3e-21).
-    sha_prefix = F.unhex(F.substring("content_sha256", 1, 32))
+    # an 8-byte unhexed PREFIX cuts that traffic 8x vs 64-char hex
+    # strings (round 4 went to 16 bytes; round 5 halved it again —
+    # same-hour interleaved A/B on the 37.5 M-pair probe measured ~3%
+    # at local[8], BENCH/ab_sha_r05.json, and the bytes win is what
+    # matters on a bandwidth-bound cluster). Equality of 64-bit
+    # prefixes is collision-safe for this purpose: a false
+    # exact_content needs two distinct contents whose sha256 agree in
+    # the first 64 bits among the CANDIDATE pairs — expected count
+    # ~ n_pairs / 2^64 ≈ 5e-8 at 10^12 pairs, immaterial vs the
+    # F1 >= 0.99 criterion (and vs the accepted fid-collision budget).
+    sha_prefix = F.unhex(F.substring("content_sha256", 1, SHA_PREFIX_HEX_CHARS))
     narrow_feats = features.select(
         "file_id", "norm_name", sha_prefix.alias("content_sha256")
     )

@@ -127,6 +127,15 @@ class SnapshotTable:
             return cur["bucket_col"]
         return "repo" if "repo" in df.columns else df.columns[0]
 
+    def _pinned(self, manifest: dict) -> str:
+        """Re-pin bucketing params from a manifest before ANY bucket
+        computation: a table created with a non-default n_buckets and
+        reopened via Catalog.table() (default 16) would otherwise hash
+        affected buckets with the wrong modulus — rows would silently
+        survive deletes and upserts would duplicate keys."""
+        self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
+        return manifest["bucket_col"]
+
     def _bucket_expr(self, bucket_col: str):
         return F.coalesce(
             F.pmod(F.xxhash64(F.col(bucket_col).cast("string")), F.lit(self.n_buckets)),
@@ -162,9 +171,14 @@ class SnapshotTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
-        entries = self._manifest(v)["data_sets"]
+        all_entries = self._manifest(v)["data_sets"]
+        entries = all_entries
         if buckets is not None:
             entries = [e for e in entries if e["bucket"] in set(buckets)]
+            if not entries and all_entries:
+                # an ordinary point-lookup miss (no rows in the probed
+                # buckets), not a broken table: empty result, full schema
+                return self._read_entries(all_entries).where(F.lit(False))
         if not entries:
             raise FileNotFoundError(f"table {self.name} v{v} is empty")
         return self._read_entries(entries)
@@ -185,19 +199,22 @@ class SnapshotTable:
         return self._commit(prev + self._write_data_sets(df, bc), "append", bc)
 
     def _affected_rewrite(
-        self, keep_cond, new_rows: DataFrame | None, affected: set[int], op: str
+        self, keep, new_rows: DataFrame | None, affected: set[int], op: str
     ) -> int:
-        """Shared bucket-scoped COW commit: buckets in ``affected`` are
-        rewritten as (current rows passing ``keep_cond``) ∪ ``new_rows``;
-        every other bucket's entries are carried over BY REFERENCE (their
-        parquet files are untouched — byte-identical across the commit)."""
+        """THE bucket-scoped COW commit (shared by delete_where and
+        upsert): buckets in ``affected`` are rewritten as
+        ``keep(current rows of those buckets)`` ∪ ``new_rows``; every
+        other bucket's entries are carried over BY REFERENCE (their
+        parquet files are untouched — byte-identical across the
+        commit). ``keep`` is a DataFrame→DataFrame callable so callers
+        can express non-Column logic (upsert's anti-join)."""
         cur = self._current_manifest()
-        bc = cur["bucket_col"]
+        bc = self._pinned(cur)
         keep_entries = [e for e in cur["data_sets"] if e["bucket"] not in affected]
         touched = [e for e in cur["data_sets"] if e["bucket"] in affected]
         parts: list[DataFrame] = []
         if touched:
-            parts.append(self._read_entries(touched).filter(keep_cond))
+            parts.append(keep(self._read_entries(touched)))
         if new_rows is not None:
             parts.append(new_rows)
         new_entries: list[dict] = []
@@ -215,7 +232,7 @@ class SnapshotTable:
         buckets containing matches, only those buckets are rewritten
         with the anti filter, all other buckets carry over untouched."""
         cur = self._current_manifest()
-        bc = cur["bucket_col"]
+        bc = self._pinned(cur)
         affected = {
             r["b"]
             for r in self.read()
@@ -226,7 +243,14 @@ class SnapshotTable:
         }
         if not affected:
             return self._commit(cur["data_sets"], "delete_where", bc)
-        return self._affected_rewrite(~condition, None, affected, "delete_where")
+        # SQL DELETE semantics: remove rows where the predicate is TRUE;
+        # rows where it evaluates to NULL are KEPT (a bare ~condition
+        # would drop them — and only in affected buckets, making delete
+        # outcome depend on bucket co-location)
+        keep_pred = ~F.coalesce(condition, F.lit(False))
+        return self._affected_rewrite(
+            lambda df: df.filter(keep_pred), None, affected, "delete_where"
+        )
 
     def upsert(self, updates: DataFrame, key_cols: list[str]) -> int:
         """S3/S13: MERGE INTO — matched rows replaced, unmatched inserted
@@ -236,8 +260,7 @@ class SnapshotTable:
         set matters when ``bucket_col`` is not part of the key: a
         replaced row may live in a bucket no incoming row maps to)."""
         cur_df = self.read()
-        cur = self._current_manifest()
-        bc = cur["bucket_col"]
+        bc = self._pinned(self._current_manifest())
         updates = updates.select(*cur_df.columns)
         keys = updates.select(*key_cols)
         affected = {
@@ -250,39 +273,23 @@ class SnapshotTable:
             .distinct()
             .collect()
         }
-        # keep_cond: current rows whose key is NOT being replaced. An
-        # anti-join is not a Column predicate, so the rewrite closes over
-        # a broadcast IN-set via a left_anti join expressed per-bucket:
-        # _affected_rewrite needs a Column, so mark matches with a join.
-        marked = (
-            self._read_entries(
-                [e for e in cur["data_sets"] if e["bucket"] in affected]
-            ).join(F.broadcast(keys.withColumn("_hit", F.lit(True))), key_cols, "left")
-            if affected
-            else None
-        )
-        cur_keep = (
-            marked.filter(F.col("_hit").isNull()).drop("_hit") if marked is not None else None
-        )
-        keep_entries = [e for e in cur["data_sets"] if e["bucket"] not in affected]
-        parts = [p for p in (cur_keep, updates) if p is not None]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return self._commit(
-            keep_entries + self._write_data_sets(df, bc), "upsert", bc
+        return self._affected_rewrite(
+            lambda df: df.join(F.broadcast(keys), key_cols, "left_anti"),
+            updates,
+            affected,
+            "upsert",
         )
 
     def rollback(self, version: int) -> int:
         m = self._manifest(version)
         return self._commit(
-            m["data_sets"], "rollback", m["bucket_col"], {"to": version}
+            m["data_sets"], "rollback", self._pinned(m), {"to": version}
         )
 
     def compact(self) -> int:
         """S10 maintenance: rewrite all live data sets into one
         (rewrite_data_files analog); old sets stay for time travel."""
-        bc = self._current_manifest()["bucket_col"]
+        bc = self._pinned(self._current_manifest())
         return self._commit(self._write_data_sets(self.read(), bc), "compact", bc)
 
 

@@ -126,3 +126,44 @@ def test_catalog_listing(spark, cat):
     cat.table("alpha").overwrite(_df(spark, [(1, "a")]))
     cat.table("beta").overwrite(_df(spark, [(2, "b")]))
     assert cat.tables() == ["alpha", "beta"]
+
+
+def test_reopened_table_repins_n_buckets(spark, tmp_path):
+    """A table created with non-default n_buckets and reopened through
+    Catalog.table() (default 16) must re-pin the bucket modulus from the
+    manifest before computing affected buckets — with the wrong modulus
+    a delete's affected-bucket ids match no manifest entry and the row
+    silently survives."""
+    from music_dedupe_spark.sources.catalog import Catalog, SnapshotTable
+
+    root = str(tmp_path / "wh")
+    t = SnapshotTable(spark, root, "tn", n_buckets=4)
+    t.overwrite(_df(spark, [(i, str(i)) for i in range(1, 13)]))
+    assert t.history()[-1]["n_buckets"] == 4
+    # reopen with the default ctor params
+    t2 = Catalog(spark, root).table("tn")
+    t2.delete_where(F.col("k") == 7)
+    assert sorted(r["k"] for r in t2.read().collect()) == [i for i in range(1, 13) if i != 7]
+    assert t2.history()[-1]["n_buckets"] == 4  # pin survives the commit
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, cat):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are kept — and identically so whether or not they share a bucket
+    with a matched row."""
+    rows = [(1, "x"), (2, None), (3, "y"), (4, None)]
+    t = cat.table("t_null")
+    t.overwrite(spark.createDataFrame(rows, "k int, v string"))
+    t.delete_where(F.col("v") == "x")
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [2, 3, 4], got
+
+
+def test_read_bucket_prune_miss_returns_empty(spark, cat):
+    t = cat.table("t_prune")
+    t.overwrite(_df(spark, [(1, "a")]))
+    present = {e["bucket"] for e in t.history()[-1]["data_sets"]}
+    missing = next(b for b in range(16) if b not in present)
+    out = t.read(buckets=[missing])
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]

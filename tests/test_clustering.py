@@ -142,6 +142,50 @@ def test_cc_retention_expires_stale_higher_indices(spark, tmp_path):
     assert got == want
 
 
+def test_cc_fresh_run_clears_stale_snapshots_even_on_budget_raise(spark, tmp_path):
+    """The non-converged path advises 'resume with a larger budget' —
+    that resume must not find a stale higher-indexed snapshot from a
+    previous run in a reused dir (latest_checkpoint takes the max
+    index). A fresh run therefore clears inherited iter_* up front,
+    so even after a budget RuntimeError the dir holds only THIS run's
+    partial state."""
+    import os
+
+    ckpt = str(tmp_path / "cc")
+    spark.createDataFrame([("zz1", "zz2")], "u string, v string").write.parquet(
+        f"{ckpt}/iter_0007"
+    )
+    edges = [e for e in _random_edges(9, n_nodes=200, n_edges=250) if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+    want = {r["member_id"]: r["entity_id"] for r in connected_components(df).collect()}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, checkpoint_dir=ckpt, max_iterations=1)
+    iters = sorted(n for n in os.listdir(ckpt) if n.startswith("iter_"))
+    assert "iter_0007" not in iters, iters
+    assert latest_checkpoint(ckpt, spark) == 0
+    resumed = connected_components(df, checkpoint_dir=ckpt, resume=True)
+    got = {r["member_id"]: r["entity_id"] for r in resumed.collect()}
+    assert got == want
+
+
+def test_cc_chained_runs_do_not_invalidate_prior_assignment(spark, tmp_path):
+    """The returned assignment is a lazy read of a per-run parquet dir;
+    a later run sharing the checkpoint dir (chained incremental folds)
+    must not clobber the files a previously returned assignment still
+    reads from."""
+    ckpt = str(tmp_path / "cc")
+    e1 = spark.createDataFrame([("a1", "a2"), ("a2", "a3")], "left_id string, right_id string")
+    e2 = spark.createDataFrame([("b1", "b2")], "left_id string, right_id string")
+    first = connected_components(e1, checkpoint_dir=ckpt)
+    want_first = {(r["member_id"], r["entity_id"]) for r in first.collect()}
+    second = connected_components(e2, checkpoint_dir=ckpt)
+    assert {(r["member_id"], r["entity_id"]) for r in second.collect()} == {
+        ("b1", "b1"), ("b2", "b1")
+    }
+    # the first assignment is still fully readable after the second run
+    assert {(r["member_id"], r["entity_id"]) for r in first.collect()} == want_first
+
+
 def test_cc_checkpoint_resume(spark, tmp_path):
     # kill the loop after one iteration; resume must produce identical
     # clusters (FIXTURES.md §5.6, north rule resumability)

@@ -89,12 +89,27 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_lsh_truth_set_nonempty(spark):
-    """Guards the dedup_minhash_lsh self-assert from going vacuous: the
-    driver corpus must contain at least one 5-gram-Jaccard >= 0.7 truth
-    pair, else the in-entry recall floor checks nothing."""
-    from music_dedupe_spark.operators.dedup import LSH_TRUTH_JACCARD, ngram_jaccard_pairs
+    """Guards the dedup_minhash_lsh self-asserts from going vacuous at
+    the driver's sf0.01 sweep: the corpus must contain at least one
+    organic 5-gram-Jaccard >= 0.7 truth pair AND sit under the
+    organic-truth char gate (so that check actually runs there), and
+    the canary planter must pick a nonempty sample."""
+    import pyspark.sql.functions as F
+
+    from music_dedupe_spark.operators.dedup import (
+        LSH_ORGANIC_TRUTH_MAX_CHARS,
+        LSH_TRUTH_JACCARD,
+        _lsh_canaries,
+        ngram_jaccard_pairs,
+    )
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = d.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
+    ).collect()[0]
+    assert stats["chars"] <= LSH_ORGANIC_TRUTH_MAX_CHARS
+    _, planted = _lsh_canaries(d, stats["n"])
+    assert len(planted) > 0
     t = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
     deps = getattr(t, "_mds_persisted", [])
     n = t.count()

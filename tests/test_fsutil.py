@@ -1,0 +1,71 @@
+"""Hadoop-FileSystem helpers: the atomic versioned-dir publish,
+including the dir-rename-NESTS-instead-of-failing race recovery."""
+
+import os
+
+from music_dedupe_spark import fsutil
+
+
+def _mkdir_with_marker(path, marker):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, marker), "w") as fh:
+        fh.write("x")
+
+
+def test_claim_versioned_dir_simple(spark, tmp_path):
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    tmp = f"{parent}/.tmp_abc"
+    _mkdir_with_marker(tmp, "mine")
+    got = fsutil.claim_versioned_dir(spark, tmp, parent, "sig_store")
+    assert got == f"{parent}/sig_store_0000"
+    assert os.path.exists(f"{parent}/sig_store_0000/mine")
+    assert not os.path.exists(tmp)
+
+
+def test_claim_versioned_dir_skips_existing(spark, tmp_path):
+    parent = str(tmp_path / "store")
+    _mkdir_with_marker(f"{parent}/sig_store_0000", "winner")
+    tmp = f"{parent}/.tmp_xyz"
+    _mkdir_with_marker(tmp, "mine")
+    got = fsutil.claim_versioned_dir(spark, tmp, parent, "sig_store")
+    assert got == f"{parent}/sig_store_0001"
+    assert os.path.exists(f"{parent}/sig_store_0001/mine")
+    assert os.path.exists(f"{parent}/sig_store_0000/winner")
+
+
+def test_claim_versioned_dir_recovers_from_nesting_race(spark, tmp_path, monkeypatch):
+    """Hadoop dir-rename onto an existing destination NESTS the source
+    inside it and returns True — a naive probe-then-rename loser would
+    'succeed' while its data sits hidden. Simulate losing the race by
+    lying about the first existence probe; the claim must recover the
+    nested dir and publish it at the next index, leaving the winner's
+    store unpolluted."""
+    parent = str(tmp_path / "store")
+    _mkdir_with_marker(f"{parent}/sig_store_0000", "winner")
+    tmp = f"{parent}/.tmp_racer"
+    _mkdir_with_marker(tmp, "mine")
+
+    real_exists = fsutil.exists
+    lied = {"done": False}
+
+    def lying_exists(s, path):
+        if not lied["done"] and path.endswith("sig_store_0000"):
+            lied["done"] = True
+            return False  # the race window: target "absent", then appears
+        return real_exists(s, path)
+
+    monkeypatch.setattr(fsutil, "exists", lying_exists)
+    got = fsutil.claim_versioned_dir(spark, tmp, parent, "sig_store")
+    assert got == f"{parent}/sig_store_0001"
+    assert os.path.exists(f"{parent}/sig_store_0001/mine")
+    # the winner's store holds only its own data — no nested leftovers
+    assert os.listdir(f"{parent}/sig_store_0000") == ["winner"]
+    assert not os.path.exists(tmp)
+
+
+def test_append_line_and_read_text(spark, tmp_path):
+    p = f"{tmp_path}/m/_metrics.jsonl"
+    fsutil.append_line(spark, p, '{"a": 1}')
+    fsutil.append_line(spark, p, '{"a": 2}')
+    assert fsutil.read_text(spark, p) == '{"a": 1}\n{"a": 2}\n'
