@@ -41,9 +41,19 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """FileSystem.rename: atomic on HDFS/local, REFUSES an existing
     destination (returns False) — the property the versioned-store
-    publish relies on to serialize concurrent writers."""
+    publish relies on to serialize concurrent writers. A MISSING source
+    is normalized to False too: HDFS already returns false for it, but
+    the local FS throws FileNotFoundException — callers need one
+    contract to branch on (claim_versioned_dir turns it into a loud
+    IOError after confirming the source is really gone)."""
     fs, hsrc, jvm = _fs(spark, src)
-    return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+    try:
+        return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+    except Exception as e:
+        jexc = getattr(e, "java_exception", None)
+        if jexc is not None and "FileNotFoundException" in jexc.getClass().getName():
+            return False
+        raise
 
 
 def mkdirs(spark: SparkSession, path: str) -> None:
@@ -92,18 +102,50 @@ def claim_versioned_dir(
     while True:
         target = f"{parent}/{prefix}_{n:04d}"
         if not exists(spark, target):
-            rename(spark, src, target)
-            nested = f"{target}/{base}"
-            if not exists(spark, nested):
-                return target
-            src = nested  # lost the race: our dir was nested, re-claim
+            if rename(spark, src, target):
+                nested = f"{target}/{base}"
+                if not exists(spark, nested):
+                    return target
+                src = nested  # lost the race: our dir was nested, re-claim
+            elif not exists(spark, src):
+                # rename returned False AND the source is gone: nothing
+                # left to publish — surface it rather than returning a
+                # target path that holds none of our data
+                raise IOError(
+                    f"claim_versioned_dir: source {src} disappeared while "
+                    f"claiming {target}"
+                )
+            # else: rename refused (e.g. target appeared as a FILE in
+            # the probe window, or a transient store error) — src is
+            # intact, try the next index
         n += 1
 
 
 def append_line(spark: SparkSession, path: str, line: str) -> None:
-    """Append one line to a (small) metrics/log file. Plain
-    ``FileSystem.append`` is unsupported on several stores (s3a, some
-    local FS builds), so this reads + rewrites — fine for the advisory
-    jsonl sidecars it serves (a few hundred bytes, one writer)."""
-    prev = read_text(spark, path) if exists(spark, path) else ""
-    write_text(spark, path, prev + line + "\n")
+    """Append one line to a (small) metrics/log file. Prefers native
+    ``FileSystem.append`` (HDFS); where that is unsupported (s3a,
+    checksummed local FS) it falls back to read + write-to-temp +
+    delete + rename — never a truncate-in-place of the only copy, so a
+    crash mid-append leaves the history either at ``path`` (crash
+    before the delete) or complete at the temp (crash before the
+    rename), instead of destroyed. Fine for the advisory jsonl
+    sidecars it serves (a few hundred bytes, one writer)."""
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        try:
+            out = fs.append(hpath)
+        except Exception:  # UnsupportedOperationException and kin
+            out = None
+        if out is not None:
+            try:
+                out.write(bytearray((line + "\n").encode("utf-8")))
+            finally:
+                out.close()
+            return
+        prev = read_text(spark, path)
+        tmp = f"{path}.tmp-append"
+        write_text(spark, tmp, prev + line + "\n")
+        fs.delete(hpath, False)
+        rename(spark, tmp, path)
+        return
+    write_text(spark, path, line + "\n")

@@ -278,6 +278,14 @@ def latest_checkpoint(checkpoint_dir: str, spark: SparkSession | None = None) ->
     driver-local listing would always see "absent" and silently restart
     from scratch instead of resuming."""
     spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        # the probe goes through the JVM Hadoop FileSystem (the only
+        # way it can see hdfs://s3a:// dirs), which needs a session
+        raise RuntimeError(
+            "latest_checkpoint requires an active SparkSession (pass "
+            "spark=) — checkpoint dirs are probed via the Hadoop "
+            "FileSystem, which lives in the JVM"
+        )
     its = []
     for name in fsutil.list_names(spark, checkpoint_dir):
         idx = _iter_index(name)

@@ -244,7 +244,14 @@ def dedup_minhash_lsh(spark, sf):
 
     A banding regression raises loudly either way
     (tests/test_dedup_ops.py pins it with an injected regression).
-    Canary rows never appear in the returned candidates."""
+    Canary rows never appear in the returned candidates.
+
+    Driver-entry discipline: the candidate set is collected and
+    returned as a LOCAL DataFrame — the driver collects the result
+    anyway, and a live plan would re-run the banding on its collect
+    while a persist would leak per invocation. The SCALE surface is
+    ``blocking.minhash_lsh_pairs``, which stays fully distributed;
+    this entry is its self-asserting demo at driver corpus sizes."""
     d = _t(spark, sf, "documents")
     from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
 

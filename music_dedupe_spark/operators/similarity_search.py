@@ -169,8 +169,11 @@ def _assert_recall(
         for r in brute_force_topk(embeddings, queries, k).collect()
     }
     if not truth:
-        # empty corpus/query set: nothing to recall — vacuously fine
-        return approx
+        # empty corpus/query set: nothing to recall — vacuously fine,
+        # but keep the contract uniform (a LOCAL DataFrame either way:
+        # an empty truth means an empty-or-tiny approx result too)
+        rows = approx.collect()
+        return approx.sparkSession.createDataFrame(rows, schema=approx.schema)
     # The check must execute the approx plan; collect the FULL result
     # (k * N_QUERIES rows — tiny) and hand the caller a local DataFrame
     # rebuilt from those rows. A persist here would leak one cached

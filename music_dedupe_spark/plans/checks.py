@@ -65,7 +65,11 @@ def exchanges(df: DataFrame) -> list[dict]:
     column appears in no pair-row exchange"."""
     txt = explain_str(df)
     out: list[dict] = []
-    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)*?)\n", txt):
+    # terminator: blank line OR end of string — an Exchange that is the
+    # LAST detail block of the explain has no trailing blank line, and
+    # silently dropping it would make the plan-shape assertions pass
+    # vacuously for exactly that node
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)*?)(?:\n|$)", txt):
         block = m.group(1)
         input_part = block.split("Arguments")[0]
         args = re.search(r"Arguments: (.*)", block)

@@ -49,6 +49,16 @@ from pyspark.sql import functions as F
 from music_dedupe_spark import fsutil
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A snapshot commit lost the rename race to a concurrent writer.
+
+    The losing writer's pending data_sets were derived from the
+    pre-race snapshot, so they cannot be re-published as-is without
+    dropping the winner's changes; callers re-apply the whole operation
+    (read the new current snapshot, recompute, commit) — Iceberg's
+    optimistic-concurrency contract."""
+
+
 class SnapshotTable:
     def __init__(
         self,
@@ -78,11 +88,21 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        return json.loads(
+        m = json.loads(
             fsutil.read_text(
                 self.spark, f"{self.path}/_versions/v{version:08d}.json"
             )
         )
+        # legacy (pre-bucketing) manifests: data_sets was a plain list
+        # of data-set dir names with no bucket metadata. Normalize to
+        # the entry shape; bucket=None marks "bucket unknown", which
+        # reads always include and row-level commits treat as affected
+        # (full-rewrite COW — the legacy semantics — after which the
+        # table is upgraded to bucketed entries).
+        sets = m.get("data_sets") or []
+        if sets and isinstance(sets[0], str):
+            m["data_sets"] = [{"path": p, "bucket": None} for p in sets]
+        return m
 
     def _current_manifest(self) -> dict | None:
         v = self.current_version()
@@ -106,17 +126,25 @@ class SnapshotTable:
         tmp = f"{self.path}/_versions/.tmp-{uuid.uuid4().hex}.json"
         # atomic publish: FileSystem.rename is the commit point, and it
         # REFUSES an existing destination — a concurrent committer that
-        # raced to the same version number loses the rename and retries
-        # at the next number instead of clobbering the winner.
+        # raced to the same version number loses the rename. The loser
+        # must NOT just take the next number: its data_sets were built
+        # from the PRE-race snapshot, so publishing them as a later
+        # version would silently drop the winner's rows (a lost
+        # update). Like Iceberg's optimistic concurrency, the losing
+        # COMMIT fails loudly and the caller re-applies its OPERATION
+        # against the new current snapshot.
         version = (self.current_version() or 0) + 1
-        while True:
-            manifest["version"] = version
-            fsutil.write_text(self.spark, tmp, json.dumps(manifest))
-            if fsutil.rename(
-                self.spark, tmp, f"{self.path}/_versions/v{version:08d}.json"
-            ):
-                return version
-            version += 1
+        manifest["version"] = version
+        fsutil.write_text(self.spark, tmp, json.dumps(manifest))
+        if fsutil.rename(
+            self.spark, tmp, f"{self.path}/_versions/v{version:08d}.json"
+        ):
+            return version
+        fsutil.delete(self.spark, tmp)
+        raise ConcurrentCommitError(
+            f"table {self.name}: version {version} was committed concurrently; "
+            f"re-apply the operation against the current snapshot"
+        )
 
     # ---- bucketing -------------------------------------------------------
 
@@ -127,12 +155,16 @@ class SnapshotTable:
             return cur["bucket_col"]
         return "repo" if "repo" in df.columns else df.columns[0]
 
-    def _pinned(self, manifest: dict) -> str:
+    def _pinned(self, manifest: dict) -> str | None:
         """Re-pin bucketing params from a manifest before ANY bucket
         computation: a table created with a non-default n_buckets and
         reopened via Catalog.table() (default 16) would otherwise hash
         affected buckets with the wrong modulus — rows would silently
-        survive deletes and upserts would duplicate keys."""
+        survive deletes and upserts would duplicate keys. Returns None
+        for a legacy (pre-bucketing) manifest — callers must fall back
+        to full-rewrite semantics for that snapshot."""
+        if not manifest.get("bucket_col"):
+            return None
         self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
         return manifest["bucket_col"]
 
@@ -174,7 +206,10 @@ class SnapshotTable:
         all_entries = self._manifest(v)["data_sets"]
         entries = all_entries
         if buckets is not None:
-            entries = [e for e in entries if e["bucket"] in set(buckets)]
+            # bucket=None (legacy entry): bucket unknown — always scan
+            entries = [
+                e for e in entries if e["bucket"] is None or e["bucket"] in set(buckets)
+            ]
             if not entries and all_entries:
                 # an ordinary point-lookup miss (no rows in the probed
                 # buckets), not a broken table: empty result, full schema
@@ -209,9 +244,18 @@ class SnapshotTable:
         commit). ``keep`` is a DataFrame→DataFrame callable so callers
         can express non-Column logic (upsert's anti-join)."""
         cur = self._current_manifest()
-        bc = self._pinned(cur)
-        keep_entries = [e for e in cur["data_sets"] if e["bucket"] not in affected]
-        touched = [e for e in cur["data_sets"] if e["bucket"] in affected]
+        bc = self._pinned(cur) or self._resolve_bucket_col(self.read())
+        # bucket=None (legacy entry, possibly mixed in by an append to a
+        # pre-bucketing table): bucket membership unknown — always
+        # rewrite, which also upgrades the entry to bucketed form
+        keep_entries = [
+            e
+            for e in cur["data_sets"]
+            if e["bucket"] is not None and e["bucket"] not in affected
+        ]
+        touched = [
+            e for e in cur["data_sets"] if e["bucket"] is None or e["bucket"] in affected
+        ]
         parts: list[DataFrame] = []
         if touched:
             parts.append(keep(self._read_entries(touched)))
@@ -233,14 +277,20 @@ class SnapshotTable:
         with the anti filter, all other buckets carry over untouched."""
         cur = self._current_manifest()
         bc = self._pinned(cur)
-        affected = {
-            r["b"]
-            for r in self.read()
-            .filter(condition)
-            .select(self._bucket_expr(bc).alias("b"))
-            .distinct()
-            .collect()
-        }
+        if bc is None:
+            # legacy snapshot (no bucket metadata): full-rewrite COW —
+            # the pre-bucketing semantics — re-bucketing on this commit
+            bc = self._resolve_bucket_col(self.read())
+            affected = {e["bucket"] for e in cur["data_sets"]}
+        else:
+            affected = {
+                r["b"]
+                for r in self.read()
+                .filter(condition)
+                .select(self._bucket_expr(bc).alias("b"))
+                .distinct()
+                .collect()
+            }
         if not affected:
             return self._commit(cur["data_sets"], "delete_where", bc)
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
@@ -260,21 +310,30 @@ class SnapshotTable:
         set matters when ``bucket_col`` is not part of the key: a
         replaced row may live in a bucket no incoming row maps to)."""
         cur_df = self.read()
-        bc = self._pinned(self._current_manifest())
+        cur = self._current_manifest()
+        bc = self._pinned(cur)
         updates = updates.select(*cur_df.columns)
         keys = updates.select(*key_cols)
-        affected = {
-            r["b"]
-            for r in updates.select(self._bucket_expr(bc).alias("b")).distinct().collect()
-        } | {
-            r["b"]
-            for r in cur_df.join(F.broadcast(keys), key_cols, "left_semi")
-            .select(self._bucket_expr(bc).alias("b"))
-            .distinct()
-            .collect()
-        }
+        if bc is None:
+            # legacy snapshot: full-rewrite COW, upgraded on this commit
+            bc = self._resolve_bucket_col(cur_df)
+            affected = {e["bucket"] for e in cur["data_sets"]}
+        else:
+            # plain joins — AQE broadcasts the key set only when it is
+            # actually small; a forced broadcast of a huge MERGE batch's
+            # keys would OOM the driver at the table scale this targets
+            affected = {
+                r["b"]
+                for r in updates.select(self._bucket_expr(bc).alias("b")).distinct().collect()
+            } | {
+                r["b"]
+                for r in cur_df.join(keys, key_cols, "left_semi")
+                .select(self._bucket_expr(bc).alias("b"))
+                .distinct()
+                .collect()
+            }
         return self._affected_rewrite(
-            lambda df: df.join(F.broadcast(keys), key_cols, "left_anti"),
+            lambda df: df.join(keys, key_cols, "left_anti"),
             updates,
             affected,
             "upsert",
@@ -288,9 +347,12 @@ class SnapshotTable:
 
     def compact(self) -> int:
         """S10 maintenance: rewrite all live data sets into one
-        (rewrite_data_files analog); old sets stay for time travel."""
-        bc = self._pinned(self._current_manifest())
-        return self._commit(self._write_data_sets(self.read(), bc), "compact", bc)
+        (rewrite_data_files analog); old sets stay for time travel.
+        Compacting a legacy (pre-bucketing) snapshot upgrades it to
+        bucketed entries."""
+        df = self.read()
+        bc = self._pinned(self._current_manifest()) or self._resolve_bucket_col(df)
+        return self._commit(self._write_data_sets(df, bc), "compact", bc)
 
 
 class Catalog:

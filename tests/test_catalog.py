@@ -159,6 +159,81 @@ def test_delete_where_keeps_null_predicate_rows(spark, cat):
     assert got == [2, 3, 4], got
 
 
+def test_legacy_manifest_read_and_upgrade(spark, tmp_path):
+    """A table written by the pre-bucketing catalog (manifest data_sets
+    was a plain list of dir names, no bucket_col) must stay readable,
+    never be bucket-pruned away, and be UPGRADED to bucketed entries by
+    its first row-level commit (full-rewrite COW — the legacy
+    semantics — exactly once)."""
+    import json
+
+    from music_dedupe_spark import fsutil
+    from music_dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("t_legacy")
+    # hand-build the legacy layout: one flat data-set dir + a v1
+    # manifest in the old list[str] format with no bucket metadata
+    _df(spark, [(1, "a"), (2, "b"), (3, "c")]).write.parquet(
+        f"{t.path}/data/legacy0"
+    )
+    fsutil.write_text(
+        spark,
+        f"{t.path}/_versions/v00000001.json",
+        json.dumps(
+            {"op": "overwrite", "data_sets": ["legacy0"], "version": 1, "ts": 0, "meta": {}}
+        ),
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+    # bucket pruning must still scan bucket-unknown legacy entries
+    assert t.read(buckets=[0]).count() == 3
+    t.delete_where(F.col("k") == 2)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+    m2 = t.history()[-1]
+    assert m2["bucket_col"], "first row-level commit must pin a bucket col"
+    assert all(e["bucket"] is not None for e in m2["data_sets"]), (
+        "legacy entries must be upgraded to bucketed form by the rewrite"
+    )
+    # time travel over the legacy snapshot still works
+    assert t.read(version=1).count() == 3
+    # and the NEXT commit is bucket-scoped: some entries carry over
+    t.delete_where(F.col("k") == 1)
+    e2 = {(e["path"], e["bucket"]) for e in m2["data_sets"]}
+    e3 = {(e["path"], e["bucket"]) for e in t.history()[-1]["data_sets"]}
+    assert e2 & e3, "post-upgrade commits must carry untouched buckets by reference"
+
+
+def test_concurrent_commit_raises_and_keeps_winner(spark, cat, monkeypatch):
+    """Two writers racing to the same version number: the rename loser
+    must NOT retry at the next number (its data sets were derived from
+    the pre-race snapshot — a silent lost update); it raises
+    ConcurrentCommitError, cleans its temp manifest, and leaves the
+    winner's snapshot as the table's state."""
+    from music_dedupe_spark import fsutil
+    from music_dedupe_spark.sources.catalog import ConcurrentCommitError
+
+    t = cat.table("t_race")
+    t.overwrite(_df(spark, [(1, "a")]))
+    winner = fsutil.read_text(spark, f"{t.path}/_versions/v00000001.json")
+    real_rename = fsutil.rename
+
+    def racing_rename(s, src, dst):
+        if dst.endswith(".json") and not fsutil.exists(s, dst):
+            # a concurrent writer claims this version number first
+            fsutil.write_text(s, dst, winner)
+        return real_rename(s, src, dst)
+
+    monkeypatch.setattr(fsutil, "rename", racing_rename)
+    with pytest.raises(ConcurrentCommitError):
+        t.append(_df(spark, [(2, "b")]))
+    monkeypatch.undo()
+    # the winner's snapshot (a copy of v1) is the current state; the
+    # loser's append is NOT visible and its temp manifest is cleaned
+    assert t.read().count() == 1
+    names = fsutil.list_names(spark, f"{t.path}/_versions")
+    assert not [n for n in names if n.startswith(".tmp-")], names
+
+
 def test_read_bucket_prune_miss_returns_empty(spark, cat):
     t = cat.table("t_prune")
     t.overwrite(_df(spark, [(1, "a")]))

@@ -69,3 +69,19 @@ def test_append_line_and_read_text(spark, tmp_path):
     fsutil.append_line(spark, p, '{"a": 1}')
     fsutil.append_line(spark, p, '{"a": 2}')
     assert fsutil.read_text(spark, p) == '{"a": 1}\n{"a": 2}\n'
+    # the rewrite fallback must clean up its temp (and never leave the
+    # history solely in a truncated destination)
+    assert not os.path.exists(f"{p}.tmp-append")
+
+
+def test_claim_versioned_dir_missing_source_raises(spark, tmp_path):
+    """If the source dir vanishes mid-claim (another process consumed
+    it, or it never existed), the claim must raise — returning a target
+    path that holds none of the caller's data would silently publish an
+    empty store version."""
+    import pytest
+
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    with pytest.raises(IOError):
+        fsutil.claim_versioned_dir(spark, f"{parent}/.tmp_gone", parent, "sig_store")

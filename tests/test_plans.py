@@ -156,3 +156,25 @@ def test_scoring_cascade_exchange_shape(spark, files_df):
         assert txt.count("Exchange") > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exchanges_parses_trailing_block(monkeypatch):
+    """An Exchange that is the LAST detail block of the formatted
+    explain has no trailing blank line; the parser must still capture
+    it, or bytes-per-shuffle assertions pass vacuously for exactly
+    that node."""
+    from music_dedupe_spark.plans import checks
+
+    txt = (
+        "(1) Scan parquet\n"
+        "Output [1]: [a#1]\n"
+        "\n"
+        "(2) Exchange\n"
+        "Input [2]: [a#1, b#2]\n"
+        "Arguments: hashpartitioning(a#1, 32)\n"
+    )
+    monkeypatch.setattr(checks, "explain_str", lambda df, mode="formatted": txt)
+    exs = checks.exchanges(object())
+    assert len(exs) == 1
+    assert exs[0]["cols"] == {"a", "b"}
+    assert "hashpartitioning" in exs[0]["args"]
