@@ -33,6 +33,19 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
         return []
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
+def list_status(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(basename, modification-time-millis) of the children of ``path``
+    ([] when it doesn't exist) — for retention policies that need an
+    age order over opaquely-named dirs (e.g. assignment_<uuid>)."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [
+        (st.getPath().getName(), int(st.getModificationTime()))
+        for st in fs.listStatus(hpath)
+    ]
+
+
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, hpath, _ = _fs(spark, path)
     return bool(fs.delete(hpath, recursive))
@@ -142,10 +155,20 @@ def append_line(spark: SparkSession, path: str, line: str) -> None:
             finally:
                 out.close()
             return
+        import uuid as _uuid
+
         prev = read_text(spark, path)
-        tmp = f"{path}.tmp-append"
+        # UNIQUE temp name: a fixed one would let the next append
+        # overwrite the stranded only-copy left by a crash between the
+        # delete and the rename — exactly the history loss the
+        # temp+rename dance exists to prevent
+        tmp = f"{path}.tmp-append-{_uuid.uuid4().hex}"
         write_text(spark, tmp, prev + line + "\n")
         fs.delete(hpath, False)
-        rename(spark, tmp, path)
+        if not rename(spark, tmp, path):
+            raise IOError(
+                f"append_line: publishing {tmp} -> {path} failed "
+                f"(destination reappeared?); history preserved at {tmp}"
+            )
         return
     write_text(spark, path, line + "\n")

@@ -217,7 +217,11 @@ def connected_components(
         # later run sharing the dir — chained incremental folds — must
         # not clobber the files a previously returned assignment still
         # reads from. Superseded assignment_* dirs are dead once their
-        # consumers are done and may be cleaned externally.
+        # consumers are done; they accumulate one node-set copy per CC
+        # call, so long-lived deployments reclaim them with
+        # expire_assignments() at a point where no returned DataFrame is
+        # still live (the same contract as Iceberg's expire_snapshots —
+        # auto-deleting here would break a caller mid-chain).
         import uuid
 
         path = f"{checkpoint_dir}/assignment_{uuid.uuid4().hex[:8]}"
@@ -270,6 +274,34 @@ def _expire_iterations(spark: SparkSession, checkpoint_dir: str, keep: int) -> N
         idx = _iter_index(name)
         if idx is not None and idx != keep:
             fsutil.delete(spark, f"{checkpoint_dir}/{name}")
+
+
+def expire_assignments(
+    spark: SparkSession, checkpoint_dir: str, keep_latest: int = 1
+) -> list[str]:
+    """Reclaim superseded ``assignment_*`` parquet dirs, keeping the
+    ``keep_latest`` most recently written. Each connected_components
+    call with a checkpoint dir persists one full (member_id, entity_id)
+    copy under a unique name (so chained incremental folds never
+    clobber a returned assignment mid-read) — without retention a
+    long-running deployment's checkpoint dir grows by a node-set copy
+    per delta run. EXPLICIT maintenance, not automatic: the caller
+    invokes it when no previously returned assignment DataFrame is
+    still being read (the expire_snapshots contract). Returns the
+    deleted basenames."""
+    dirs = sorted(
+        (
+            (name, mtime)
+            for name, mtime in fsutil.list_status(spark, checkpoint_dir)
+            if name.startswith("assignment_")
+        ),
+        key=lambda nm: nm[1],
+        reverse=True,
+    )
+    dropped = [name for name, _ in dirs[max(keep_latest, 0):]]
+    for name in dropped:
+        fsutil.delete(spark, f"{checkpoint_dir}/{name}")
+    return dropped
 
 
 def latest_checkpoint(checkpoint_dir: str, spark: SparkSession | None = None) -> int | None:

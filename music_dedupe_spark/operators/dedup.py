@@ -185,13 +185,20 @@ LSH_RECALL_FLOOR = 0.6
 LSH_TRUTH_JACCARD = 0.7
 #: ~How many CANARY documents the self-assert plants: a deterministic
 #: hash-sample of real docs is copied with the last ~3% of characters
-#: cut (5-gram Jaccard ≈ 0.97 ≫ the s-curve knee) under NEGATIVE ids,
-#: unioned into the LSH input, and the bander must re-find >=
+#: cut (5-gram Jaccard ≈ 0.97 ≫ the s-curve knee) under "~"-prefixed
+#: ids, unioned into the LSH input, and the bander must re-find >=
 #: LSH_RECALL_FLOOR of the (original, copy) pairs. Unlike an organic
 #: n-gram truth pass, the planted truth costs O(canaries) at ANY corpus
 #: size (no quadratic shingle join) and is never empty or tiny — at
 #: sf0.1 the organic J>=0.7 truth is 4 pairs, too few for a stable
-#: floor. Canary pairs are filtered out of the returned candidates.
+#: floor. Canary rows are filtered out of the returned candidates.
+#: The "~" prefix matters: it sorts AFTER every real id (stringified
+#: non-negative longs), so a canary can never steal an over-cap band
+#: bucket's star root (minhash_lsh_pairs roots at F.min(file_id)) —
+#: with ids that sort FIRST (e.g. negative numbers, "-" < "0"), every
+#: hot bucket containing a canary would emit only (canary, member)
+#: pairs, all of which this entry then filters out, silently deleting
+#: the bucket's real candidates from the result.
 LSH_CANARY_COUNT = 250
 #: The organic n-gram truth pass (recall vs REAL high-similarity pairs,
 #: the round-4 design) still runs when the corpus text volume is small
@@ -201,20 +208,26 @@ LSH_CANARY_COUNT = 250
 #: pass costs about as much as the whole dedup_ngram_jaccard entry
 #: (measured ~8 s at sf0.1's 1.5M chars — it IS that join at k=5).
 LSH_ORGANIC_TRUTH_MAX_CHARS = 500_000
+#: Canary id marker: sorts after every stringified non-negative long.
+CANARY_PREFIX = "~"
 
 
 def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
     """Deterministic planted near-duplicates for the LSH self-assert:
     ~LSH_CANARY_COUNT hash-picked docs copied with the last ~3% of
-    characters cut, under id ``-(doc_id)-1`` (negative — disjoint from
-    real non-negative doc_ids, round-trips the long<->string cast).
+    characters cut, under id ``~<doc_id>`` ("~" = 0x7E sorts after
+    every digit, so canaries are disjoint from real ids AND never win a
+    band bucket's min-id star root — see LSH_CANARY_COUNT's note).
+    ``mod`` has a floor of 2 so a small corpus plants at most half its
+    docs instead of doubling itself (mod=1 would copy EVERY doc,
+    inflating every band bucket with a J≈0.97 twin).
     Returns (canary frame in (file_id, content) shape, picked ids)."""
-    mod = max(1, n_docs // LSH_CANARY_COUNT)
+    mod = max(2, n_docs // LSH_CANARY_COUNT)
     picked = d.filter(
         F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(mod)) == 0
     )
     canaries = picked.select(
-        (-F.col("doc_id") - 1).cast("string").alias("file_id"),
+        F.concat(F.lit(CANARY_PREFIX), F.col("doc_id").cast("string")).alias("file_id"),
         F.expr(
             "substring(text, 1, greatest(cast(length(text) * 0.97 as int), 5))"
         ).alias("content"),
@@ -272,25 +285,30 @@ def dedup_minhash_lsh(spark, sf):
     # capture the persisted-handle list BEFORE .select() (the attribute
     # does not survive DataFrame transformations — round-3 lesson)
     pair_deps = getattr(pairs, "_mds_persisted", [])
-    out = pairs.select(
-        F.col("left_id").cast("long").alias("left_doc"),
-        F.col("right_id").cast("long").alias("right_doc"),
-    ).orderBy("left_doc", "right_doc")
-    all_rows = out.collect()
-    cand = {
-        (min(r["left_doc"], r["right_doc"]), max(r["left_doc"], r["right_doc"]))
-        for r in all_rows
-    }
+    # ONE collect at the STRING id level (casting first would turn the
+    # "~"-prefixed canary ids into NULLs before they can be checked):
+    # the emitted pairs are already canonical in string order, and
+    # real < canary under that order ("~" sorts after digits)
+    str_rows = pairs.select("left_id", "right_id").collect()
+    str_pairs = {(r["left_id"], r["right_id"]) for r in str_rows}
     if planted:
-        truth_c = {(-o - 1, o) for o in planted}  # canonical: copy id < 0 <= o
-        recall_c = len(truth_c & cand) / len(truth_c)
+        truth_c = {(str(o), f"{CANARY_PREFIX}{o}") for o in planted}
+        recall_c = len(truth_c & str_pairs) / len(truth_c)
         if recall_c < LSH_RECALL_FLOOR:
             raise RuntimeError(
                 f"LSH candidate recall {recall_c:.3f} fell below the "
                 f"{LSH_RECALL_FLOOR} floor vs {len(truth_c)} planted "
-                f"J≈0.97 canary pairs ({len(truth_c & cand)} found) — "
+                f"J≈0.97 canary pairs ({len(truth_c & str_pairs)} found) — "
                 f"banding regressed"
             )
+    # real-candidate set in NUMERIC canonical order (for the organic
+    # truth check and the returned rows); canary rows drop out here
+    real_pairs = [
+        (int(l), int(r))
+        for (l, r) in str_pairs
+        if not l.startswith(CANARY_PREFIX) and not r.startswith(CANARY_PREFIX)
+    ]
+    cand = {(min(a, b), max(a, b)) for a, b in real_pairs}
     truth_deps: list = []
     if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
         truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
@@ -310,8 +328,8 @@ def dedup_minhash_lsh(spark, sf):
                 )
     for dep in pair_deps + truth_deps:
         dep.unpersist()
-    rows = [r for r in all_rows if r["left_doc"] >= 0 and r["right_doc"] >= 0]
-    return spark.createDataFrame(rows, schema=out.schema)
+    rows = sorted(cand)
+    return spark.createDataFrame(rows, schema="left_doc long, right_doc long")
 
 
 import re

@@ -108,32 +108,49 @@ class SnapshotTable:
         v = self.current_version()
         return self._manifest(v) if v is not None else None
 
+    def _snapshot(self) -> tuple[int | None, dict | None]:
+        """(version, manifest) of the current snapshot, read ONCE at the
+        start of an operation. Every write operation threads this base
+        through to ``_commit`` so the commit lands at exactly
+        base_version + 1 — a commit that computed its changes against
+        base N must not publish as N+2 just because someone else
+        committed N+1 while it was writing data files (that would
+        silently drop the other writer's rows; see _commit)."""
+        v = self.current_version()
+        return v, (self._manifest(v) if v is not None else None)
+
     def _commit(
         self,
         data_sets: list[dict],
         op: str,
-        bucket_col: str,
+        bucket_col: str | None,
+        base_version: int | None,
         meta: dict | None = None,
     ) -> int:
         manifest = {
             "op": op,
             "data_sets": data_sets,
             "bucket_col": bucket_col,
-            "n_buckets": self.n_buckets,
+            # n_buckets is only meaningful alongside a pinned bucket_col
+            # (bucket_col None = legacy manifest; stamping a modulus
+            # there would be misleading)
+            "n_buckets": self.n_buckets if bucket_col else None,
             "ts": time.time(),
             "meta": meta or {},
         }
         tmp = f"{self.path}/_versions/.tmp-{uuid.uuid4().hex}.json"
         # atomic publish: FileSystem.rename is the commit point, and it
-        # REFUSES an existing destination — a concurrent committer that
-        # raced to the same version number loses the rename. The loser
-        # must NOT just take the next number: its data_sets were built
-        # from the PRE-race snapshot, so publishing them as a later
-        # version would silently drop the winner's rows (a lost
-        # update). Like Iceberg's optimistic concurrency, the losing
-        # COMMIT fails loudly and the caller re-applies its OPERATION
-        # against the new current snapshot.
-        version = (self.current_version() or 0) + 1
+        # REFUSES an existing destination. The committed version is
+        # base_version + 1 where base_version is the snapshot the
+        # OPERATION read (not current_version() re-probed here!): if a
+        # concurrent writer committed base+1 while this operation was
+        # still writing data files, this rename hits an existing
+        # destination and fails loudly — re-probing would instead land
+        # the stale data_sets at base+2 and silently drop the other
+        # writer's rows (a lost update). Like Iceberg's optimistic
+        # concurrency, the losing COMMIT fails and the caller re-applies
+        # its OPERATION against the new current snapshot.
+        version = (base_version or 0) + 1
         manifest["version"] = version
         fsutil.write_text(self.spark, tmp, json.dumps(manifest))
         if fsutil.rename(
@@ -148,10 +165,12 @@ class SnapshotTable:
 
     # ---- bucketing -------------------------------------------------------
 
-    def _resolve_bucket_col(self, df: DataFrame) -> str:
-        cur = self._current_manifest()
+    def _resolve_bucket_col(self, df: DataFrame, cur: dict | None) -> str:
+        """Bucket column for a write: the manifest-pinned one when the
+        snapshot ``cur`` (read once by the caller) has bucketing
+        metadata, else the default for a new/legacy table."""
         if cur is not None and cur.get("bucket_col"):
-            self.n_buckets = int(cur.get("n_buckets", self.n_buckets))
+            self.n_buckets = int(cur.get("n_buckets") or self.n_buckets)
             return cur["bucket_col"]
         return "repo" if "repo" in df.columns else df.columns[0]
 
@@ -165,7 +184,7 @@ class SnapshotTable:
         to full-rewrite semantics for that snapshot."""
         if not manifest.get("bucket_col"):
             return None
-        self.n_buckets = int(manifest.get("n_buckets", self.n_buckets))
+        self.n_buckets = int(manifest.get("n_buckets") or self.n_buckets)
         return manifest["bucket_col"]
 
     def _bucket_expr(self, bucket_col: str):
@@ -184,11 +203,21 @@ class SnapshotTable:
         df.withColumn("_b", self._bucket_expr(bucket_col)).write.partitionBy(
             "_b"
         ).mode("overwrite").parquet(out)
-        return [
+        entries = [
             {"path": f"{ds}/{child}", "bucket": int(child.split("=")[1])}
             for child in fsutil.list_names(self.spark, out)
             if child.startswith("_b=")
         ]
+        if not entries:
+            # an EMPTY DataFrame produces zero _b= partition dirs; a
+            # snapshot with data_sets=[] would make the table unreadable
+            # (read() has no schema source), so write one empty
+            # schema-bearing parquet as a sentinel bucket — a
+            # delete-everything or overwrite-with-empty commit leaves
+            # the table readable as 0 rows with its schema intact
+            df.limit(0).write.mode("overwrite").parquet(f"{out}/_b=0")
+            entries = [{"path": f"{ds}/_b=0", "bucket": 0}]
+        return entries
 
     # ---- reads ------------------------------------------------------------
 
@@ -224,17 +253,25 @@ class SnapshotTable:
     # ---- writes -----------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        bc = self._resolve_bucket_col(df)
-        return self._commit(self._write_data_sets(df, bc), "overwrite", bc)
+        v, cur = self._snapshot()
+        bc = self._resolve_bucket_col(df, cur)
+        return self._commit(self._write_data_sets(df, bc), "overwrite", bc, v)
 
     def append(self, df: DataFrame) -> int:
-        bc = self._resolve_bucket_col(df)
-        cur = self._current_manifest()
+        v, cur = self._snapshot()
+        bc = self._resolve_bucket_col(df, cur)
         prev = cur["data_sets"] if cur else []
-        return self._commit(prev + self._write_data_sets(df, bc), "append", bc)
+        return self._commit(prev + self._write_data_sets(df, bc), "append", bc, v)
 
     def _affected_rewrite(
-        self, keep, new_rows: DataFrame | None, affected: set[int], op: str
+        self,
+        keep,
+        new_rows: DataFrame | None,
+        affected: set[int],
+        op: str,
+        cur: dict,
+        bc: str,
+        base_version: int,
     ) -> int:
         """THE bucket-scoped COW commit (shared by delete_where and
         upsert): buckets in ``affected`` are rewritten as
@@ -242,9 +279,12 @@ class SnapshotTable:
         other bucket's entries are carried over BY REFERENCE (their
         parquet files are untouched — byte-identical across the
         commit). ``keep`` is a DataFrame→DataFrame callable so callers
-        can express non-Column logic (upsert's anti-join)."""
-        cur = self._current_manifest()
-        bc = self._pinned(cur) or self._resolve_bucket_col(self.read())
+        can express non-Column logic (upsert's anti-join). ``cur`` /
+        ``bc`` / ``base_version`` are the snapshot the CALLER computed
+        ``affected`` against — re-reading the manifest here would let a
+        concurrent commit in between mix two snapshots in one
+        operation (affected buckets from the old, entries from the
+        new)."""
         # bucket=None (legacy entry, possibly mixed in by an append to a
         # pre-bucketing table): bucket membership unknown — always
         # rewrite, which also upgrades the entry to bucketed form
@@ -267,7 +307,7 @@ class SnapshotTable:
             for p in parts[1:]:
                 df = df.unionByName(p)
             new_entries = self._write_data_sets(df, bc)
-        return self._commit(keep_entries + new_entries, op, bc)
+        return self._commit(keep_entries + new_entries, op, bc, base_version)
 
     def delete_where(self, condition) -> int:
         """S7/S8: row-level delete as PARTITION-SCOPED copy-on-write
@@ -275,31 +315,33 @@ class SnapshotTable:
         DELETE, minus file-level granularity): one scan finds the
         buckets containing matches, only those buckets are rewritten
         with the anti filter, all other buckets carry over untouched."""
-        cur = self._current_manifest()
+        v, cur = self._snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
         bc = self._pinned(cur)
         if bc is None:
             # legacy snapshot (no bucket metadata): full-rewrite COW —
             # the pre-bucketing semantics — re-bucketing on this commit
-            bc = self._resolve_bucket_col(self.read())
+            bc = self._resolve_bucket_col(self.read(version=v), cur)
             affected = {e["bucket"] for e in cur["data_sets"]}
         else:
             affected = {
                 r["b"]
-                for r in self.read()
+                for r in self.read(version=v)
                 .filter(condition)
                 .select(self._bucket_expr(bc).alias("b"))
                 .distinct()
                 .collect()
             }
         if not affected:
-            return self._commit(cur["data_sets"], "delete_where", bc)
+            return self._commit(cur["data_sets"], "delete_where", bc, v)
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # rows where it evaluates to NULL are KEPT (a bare ~condition
         # would drop them — and only in affected buckets, making delete
         # outcome depend on bucket co-location)
         keep_pred = ~F.coalesce(condition, F.lit(False))
         return self._affected_rewrite(
-            lambda df: df.filter(keep_pred), None, affected, "delete_where"
+            lambda df: df.filter(keep_pred), None, affected, "delete_where", cur, bc, v
         )
 
     def upsert(self, updates: DataFrame, key_cols: list[str]) -> int:
@@ -309,14 +351,16 @@ class SnapshotTable:
         the incoming rows ∪ buckets holding a matched key (the second
         set matters when ``bucket_col`` is not part of the key: a
         replaced row may live in a bucket no incoming row maps to)."""
-        cur_df = self.read()
-        cur = self._current_manifest()
+        v, cur = self._snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        cur_df = self.read(version=v)
         bc = self._pinned(cur)
         updates = updates.select(*cur_df.columns)
         keys = updates.select(*key_cols)
         if bc is None:
             # legacy snapshot: full-rewrite COW, upgraded on this commit
-            bc = self._resolve_bucket_col(cur_df)
+            bc = self._resolve_bucket_col(cur_df, cur)
             affected = {e["bucket"] for e in cur["data_sets"]}
         else:
             # plain joins — AQE broadcasts the key set only when it is
@@ -337,12 +381,16 @@ class SnapshotTable:
             updates,
             affected,
             "upsert",
+            cur,
+            bc,
+            v,
         )
 
     def rollback(self, version: int) -> int:
         m = self._manifest(version)
         return self._commit(
-            m["data_sets"], "rollback", self._pinned(m), {"to": version}
+            m["data_sets"], "rollback", self._pinned(m), self.current_version(),
+            {"to": version},
         )
 
     def compact(self) -> int:
@@ -350,9 +398,10 @@ class SnapshotTable:
         (rewrite_data_files analog); old sets stay for time travel.
         Compacting a legacy (pre-bucketing) snapshot upgrades it to
         bucketed entries."""
-        df = self.read()
-        bc = self._pinned(self._current_manifest()) or self._resolve_bucket_col(df)
-        return self._commit(self._write_data_sets(df, bc), "compact", bc)
+        v, cur = self._snapshot()
+        df = self.read(version=v)
+        bc = self._pinned(cur) or self._resolve_bucket_col(df, cur)
+        return self._commit(self._write_data_sets(df, bc), "compact", bc, v)
 
 
 class Catalog:

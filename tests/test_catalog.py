@@ -242,3 +242,54 @@ def test_read_bucket_prune_miss_returns_empty(spark, cat):
     out = t.read(buckets=[missing])
     assert out.count() == 0
     assert out.columns == ["k", "v"]
+
+
+def test_commit_during_data_write_raises(spark, cat, monkeypatch):
+    """The lost-update window OUTSIDE the same-version rename race: a
+    writer reads snapshot N, spends time writing data files, and a
+    concurrent writer commits N+1 in that window. The first writer's
+    commit must land at N+1 (refused -> ConcurrentCommitError), NOT at
+    N+2 with its stale data_sets — that would silently drop the
+    concurrent writer's rows."""
+    from music_dedupe_spark.sources.catalog import (
+        ConcurrentCommitError,
+        SnapshotTable,
+    )
+
+    t = cat.table("t_window")
+    t.overwrite(_df(spark, [(1, "a")]))
+    other = SnapshotTable(spark, cat.root, "t_window")
+    real_write = t._write_data_sets
+
+    def slow_write(df, bucket_col):
+        # a concurrent writer fully commits while we're "writing"
+        other.append(_df(spark, [(99, "other")]))
+        return real_write(df, bucket_col)
+
+    monkeypatch.setattr(t, "_write_data_sets", slow_write)
+    with pytest.raises(ConcurrentCommitError):
+        t.append(_df(spark, [(2, "b")]))
+    monkeypatch.undo()
+    # the concurrent writer's row survived; the loser's row is absent
+    vals = {r["k"] for r in t.read().collect()}
+    assert vals == {1, 99}
+
+
+def test_delete_all_keeps_table_readable(spark, cat):
+    """A delete matching every row (or an overwrite with an empty
+    frame) must leave the table readable as 0 rows with its schema —
+    not commit data_sets=[] and break every subsequent read/upsert."""
+    t = cat.table("t_empty")
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(F.lit(True))
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]
+    # the table stays fully operational
+    t.append(_df(spark, [(3, "c")]))
+    t.upsert(_df(spark, [(3, "d"), (4, "e")]), ["k"])
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(3, "d"), (4, "e")}
+    # overwrite-with-empty behaves the same way
+    t.overwrite(spark.createDataFrame([], "k int, v string"))
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]

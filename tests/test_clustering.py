@@ -204,3 +204,29 @@ def test_cc_checkpoint_resume(spark, tmp_path):
     assert got == want
     # metrics lineage rows were written per iteration
     assert (tmp_path / "cc" / "_metrics.jsonl").exists()
+
+
+def test_expire_assignments_keeps_latest(spark, tmp_path):
+    """assignment_<uuid> dirs accumulate one per CC call (unique names
+    so chained folds never clobber a live reader); the explicit
+    expire_assignments maintenance call reclaims all but the newest K,
+    and the surviving assignment stays readable."""
+    import time
+
+    from music_dedupe_spark.operators.clustering import expire_assignments
+
+    ckpt = str(tmp_path / "cc_assign")
+    df = spark.createDataFrame([("a", "b")], "left_id string, right_id string")
+    connected_components(df, checkpoint_dir=ckpt)
+    time.sleep(1.1)  # local-FS mtime granularity can be 1s
+    latest = connected_components(df, checkpoint_dir=ckpt)
+    from music_dedupe_spark import fsutil
+
+    names = [n for n in fsutil.list_names(spark, ckpt) if n.startswith("assignment_")]
+    assert len(names) == 2
+    dropped = expire_assignments(spark, ckpt, keep_latest=1)
+    assert len(dropped) == 1
+    left = [n for n in fsutil.list_names(spark, ckpt) if n.startswith("assignment_")]
+    assert len(left) == 1 and left[0] not in dropped
+    # the kept (newest) assignment is the one the last call returned
+    assert latest.count() == 2
