@@ -186,19 +186,17 @@ LSH_TRUTH_JACCARD = 0.7
 #: ~How many CANARY documents the self-assert plants: a deterministic
 #: hash-sample of real docs is copied with the last ~3% of characters
 #: cut (5-gram Jaccard ≈ 0.97 ≫ the s-curve knee) under "~"-prefixed
-#: ids, unioned into the LSH input, and the bander must re-find >=
-#: LSH_RECALL_FLOOR of the (original, copy) pairs. Unlike an organic
-#: n-gram truth pass, the planted truth costs O(canaries) at ANY corpus
-#: size (no quadratic shingle join) and is never empty or tiny — at
-#: sf0.1 the organic J>=0.7 truth is 4 pairs, too few for a stable
-#: floor. Canary rows are filtered out of the returned candidates.
-#: The "~" prefix matters: it sorts AFTER every real id (stringified
-#: non-negative longs), so a canary can never steal an over-cap band
-#: bucket's star root (minhash_lsh_pairs roots at F.min(file_id)) —
-#: with ids that sort FIRST (e.g. negative numbers, "-" < "0"), every
-#: hot bucket containing a canary would emit only (canary, member)
-#: pairs, all of which this entry then filters out, silently deleting
-#: the bucket's real candidates from the result.
+#: ids, and a SEPARATE bounded LSH pass over picked-originals ∪ copies
+#: must re-find >= LSH_RECALL_FLOOR of the (original, copy) pairs.
+#: Unlike an organic n-gram truth pass, the planted truth costs
+#: O(canaries) at ANY corpus size (no quadratic shingle join) and is
+#: never empty or tiny — at sf0.1 the organic J>=0.7 truth is 4 pairs,
+#: too few for a stable floor. The canary pass is ISOLATED from the
+#: real pass (see _lsh_canaries): planted twins unioned into the real
+#: corpus distort its band buckets — they can steal an over-cap
+#: bucket's min-id star root (ids that sort before real ones) or tip a
+#: near-cap bucket over band_cap (all-pairs output silently collapses
+#: to a star) — both measured as real candidate pairs lost.
 LSH_CANARY_COUNT = 250
 #: The organic n-gram truth pass (recall vs REAL high-similarity pairs,
 #: the round-4 design) still runs when the corpus text volume is small
@@ -216,24 +214,33 @@ def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
     """Deterministic planted near-duplicates for the LSH self-assert:
     ~LSH_CANARY_COUNT hash-picked docs copied with the last ~3% of
     characters cut, under id ``~<doc_id>`` ("~" = 0x7E sorts after
-    every digit, so canaries are disjoint from real ids AND never win a
-    band bucket's min-id star root — see LSH_CANARY_COUNT's note).
-    ``mod`` has a floor of 2 so a small corpus plants at most half its
-    docs instead of doubling itself (mod=1 would copy EVERY doc,
-    inflating every band bucket with a J≈0.97 twin).
-    Returns (canary frame in (file_id, content) shape, picked ids)."""
+    every digit, so canary ids are disjoint from real ids and never win
+    a min-id star root within the canary pass). ``mod`` has a floor of
+    2 so a small corpus plants at most half its docs.
+    Returns (canary-pass input: picked ORIGINALS ∪ their truncated
+    copies in (file_id, content) shape, picked ids). The pass input is
+    self-contained on purpose: the canary check runs as its OWN bounded
+    LSH invocation, never unioned into the real corpus — planted twins
+    mixed into real band buckets distort the actual candidate output
+    (they can push a near-cap bucket over band_cap, silently converting
+    its all-pairs output to a star; measured −7k real pairs on a
+    hot-block fixture, pinned by
+    tests/test_dedup_ops.py::test_lsh_canaries_side_effect_free...)."""
     mod = max(2, n_docs // LSH_CANARY_COUNT)
     picked = d.filter(
         F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(mod)) == 0
     )
-    canaries = picked.select(
+    originals = picked.select(
+        F.col("doc_id").cast("string").alias("file_id"), F.col("text").alias("content")
+    )
+    copies = picked.select(
         F.concat(F.lit(CANARY_PREFIX), F.col("doc_id").cast("string")).alias("file_id"),
         F.expr(
             "substring(text, 1, greatest(cast(length(text) * 0.97 as int), 5))"
         ).alias("content"),
     )
     planted = [r["doc_id"] for r in picked.select("doc_id").collect()]
-    return canaries, planted
+    return originals.unionByName(copies), planted
 
 
 @register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check (self-asserting)
@@ -245,8 +252,12 @@ def dedup_minhash_lsh(spark, sf):
     ways instead of passing as "rows >= 0":
 
     - always: ~LSH_CANARY_COUNT planted (original, truncated-copy)
-      pairs at Jaccard ≈ 0.97 must be re-found at >= LSH_RECALL_FLOOR —
-      O(canaries) cost at ANY corpus size, truth never empty;
+      pairs at Jaccard ≈ 0.97 must be re-found at >= LSH_RECALL_FLOOR
+      by a SEPARATE bounded LSH pass over just the planted set —
+      O(canaries) cost at ANY corpus size, truth never empty, and zero
+      influence on the real corpus pass (unioning twins into the real
+      input can tip near-cap band buckets over band_cap and silently
+      star-collapse their all-pairs output);
     - on small corpora (<= LSH_ORGANIC_TRUTH_MAX_CHARS total text,
       which includes the driver's sf0.01 sweep): candidate recall vs
       the ORGANIC pairs with 5-gram Jaccard >= LSH_TRUTH_JACCARD,
@@ -272,12 +283,37 @@ def dedup_minhash_lsh(spark, sf):
         F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
     ).collect()[0]
     n_docs, total_chars = stats["n"], stats["chars"] or 0
-    canaries, planted = _lsh_canaries(d, n_docs)
+    canary_input, planted = _lsh_canaries(d, n_docs)
+    if planted:
+        # the canary check: its OWN bounded LSH pass (O(canaries) docs,
+        # same signature/banding code path the real pass runs) — every
+        # (original, truncated-copy) pair is J≈0.97, far above the
+        # s-curve knee, so a healthy bander re-finds ~all of them
+        cpairs = minhash_lsh_pairs(canary_input, num_perm=128, bands=32, shingle_k=5)
+        cdeps = getattr(cpairs, "_mds_persisted", [])
+        # emitted pairs are canonical in string order and every real id
+        # sorts before "~": (orig, ~orig) is the canonical form
+        found = {
+            (r["left_id"], r["right_id"])
+            for r in cpairs.select("left_id", "right_id").collect()
+        }
+        for dep in cdeps:
+            dep.unpersist()
+        truth_c = {(str(o), f"{CANARY_PREFIX}{o}") for o in planted}
+        recall_c = len(truth_c & found) / len(truth_c)
+        if recall_c < LSH_RECALL_FLOOR:
+            raise RuntimeError(
+                f"LSH candidate recall {recall_c:.3f} fell below the "
+                f"{LSH_RECALL_FLOOR} floor vs {len(truth_c)} planted "
+                f"J≈0.97 canary pairs ({len(truth_c & found)} found) — "
+                f"banding regressed"
+            )
+    # the REAL pass: the actual corpus only — canaries never touch it
     pairs = minhash_lsh_pairs(
         d.select(
             F.col("doc_id").cast("string").alias("file_id"),
             F.col("text").alias("content"),
-        ).unionByName(canaries),
+        ),
         num_perm=128,
         bands=32,
         shingle_k=5,
@@ -285,30 +321,13 @@ def dedup_minhash_lsh(spark, sf):
     # capture the persisted-handle list BEFORE .select() (the attribute
     # does not survive DataFrame transformations — round-3 lesson)
     pair_deps = getattr(pairs, "_mds_persisted", [])
-    # ONE collect at the STRING id level (casting first would turn the
-    # "~"-prefixed canary ids into NULLs before they can be checked):
-    # the emitted pairs are already canonical in string order, and
-    # real < canary under that order ("~" sorts after digits)
-    str_rows = pairs.select("left_id", "right_id").collect()
-    str_pairs = {(r["left_id"], r["right_id"]) for r in str_rows}
-    if planted:
-        truth_c = {(str(o), f"{CANARY_PREFIX}{o}") for o in planted}
-        recall_c = len(truth_c & str_pairs) / len(truth_c)
-        if recall_c < LSH_RECALL_FLOOR:
-            raise RuntimeError(
-                f"LSH candidate recall {recall_c:.3f} fell below the "
-                f"{LSH_RECALL_FLOOR} floor vs {len(truth_c)} planted "
-                f"J≈0.97 canary pairs ({len(truth_c & str_pairs)} found) — "
-                f"banding regressed"
-            )
-    # real-candidate set in NUMERIC canonical order (for the organic
-    # truth check and the returned rows); canary rows drop out here
-    real_pairs = [
-        (int(l), int(r))
-        for (l, r) in str_pairs
-        if not l.startswith(CANARY_PREFIX) and not r.startswith(CANARY_PREFIX)
-    ]
-    cand = {(min(a, b), max(a, b)) for a, b in real_pairs}
+    cand = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (int(r["left_id"]), int(r["right_id"]))
+            for r in pairs.select("left_id", "right_id").collect()
+        )
+    }
     truth_deps: list = []
     if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
         truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)

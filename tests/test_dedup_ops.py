@@ -117,12 +117,84 @@ def test_lsh_truth_set_nonempty(spark):
         dep.unpersist()
     assert n > 0
 
+def test_lsh_canaries_side_effect_free_on_hot_buckets(spark, tmp_path):
+    """Planted canaries must not perturb the returned candidate set —
+    the canary check runs as its OWN bounded LSH pass, never unioned
+    into the real corpus. Unioning distorts real band buckets two ways
+    (both observed before the isolation): a canary id sorting before
+    real ids steals an over-cap bucket's star root (pre-fix negative-id
+    scheme: ~1k real pairs lost at sf0.1), and twins tip a near-cap
+    bucket over band_cap, silently collapsing its all-pairs output to a
+    star (measured −7k pairs on an earlier draft of this fixture).
+    Corpus: a 210-identical-doc block (> band_cap=200 — the star path
+    runs in the real pass) plus 800 genuinely random docs, sized past
+    LSH_ORGANIC_TRUTH_MAX_CHARS so the organic-truth pass (whose recall
+    model assumes no over-cap truth block) is skipped. Assert the
+    entry's output equals the canary-free operator result exactly."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
+    from music_dedupe_spark.operators.dedup import (
+        LSH_ORGANIC_TRUTH_MAX_CHARS,
+        dedup_minhash_lsh,
+    )
+
+    hot = (
+        "def handler(request):\n    return respond(request.payload, "
+        "status=200)\n# shared boilerplate across generated services\n" * 6
+    )
+
+    def rand_text(i):
+        rng = random.Random(i)
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(700))
+
+    rows = [(i, hot, "py", "gen", len(hot)) for i in range(210)] + [
+        (1000 + i, rand_text(i), "py", "gen", 700) for i in range(800)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    total_chars = d.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert total_chars > LSH_ORGANIC_TRUTH_MAX_CHARS
+    sf = str(tmp_path / "hotsf")
+    d.write.parquet(f"{sf}/documents.parquet")
+
+    pure = minhash_lsh_pairs(
+        d.select(
+            F.col("doc_id").cast("string").alias("file_id"),
+            F.col("text").alias("content"),
+        ),
+        num_perm=128,
+        bands=32,
+        shingle_k=5,
+    )
+    deps = getattr(pure, "_mds_persisted", [])
+    want = {
+        tuple(sorted((int(r["left_id"]), int(r["right_id"]))))
+        for r in pure.select("left_id", "right_id").collect()
+    }
+    for dep in deps:
+        dep.unpersist()
+    # the identical-doc block went through the star path — the
+    # scenario under test
+    assert any(u < 210 and v < 210 for u, v in want)
+
+    got = {
+        (r["left_doc"], r["right_doc"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert got == want
+
 
 def test_lsh_dedup_entry_fails_loudly_on_banding_regression(spark, monkeypatch):
     """The driver's check for the seeded LSH entry is rows-only, so the
-    query self-asserts candidate recall vs the J>=0.7 n-gram truth set.
+    query self-asserts candidate recall vs planted J≈0.97 canary pairs.
     Inject a banding regression (a bander that proposes no pairs) and
-    the registered entry must RAISE instead of returning zero rows."""
+    the registered entry must RAISE instead of returning zero rows —
+    the canary pass runs the same (monkeypatched) code path as the real
+    pass, so a broken bander zeroes canary recall."""
     import pytest
 
     import music_dedupe_spark.operators.blocking as blocking
