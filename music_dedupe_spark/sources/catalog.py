@@ -35,6 +35,10 @@ Provided operations mirror SURVEY §2.1's sink inventory:
                       unmatched insert; bucket-scoped rewrite)
     read(version=)    time travel over snapshots
     history/rollback  snapshot maintenance (S10 analog)
+    compact           rewrite live sets into one (rewrite_data_files)
+    expire_snapshots  drop old manifests + reclaim data referenced only
+                      by them (expire_snapshots; without it every COW
+                      commit's superseded bucket copies live forever)
 """
 
 from __future__ import annotations
@@ -392,6 +396,45 @@ class SnapshotTable:
             m["data_sets"], "rollback", self._pinned(m), self.current_version(),
             {"to": version},
         )
+
+    def expire_snapshots(self, keep_latest: int = 1) -> list[str]:
+        """Iceberg ``expire_snapshots`` analog: drop every manifest but
+        the newest ``keep_latest`` and delete each data path referenced
+        ONLY by the dropped ones — the retention that keeps a long-lived
+        table's storage proportional to its LIVE snapshots (every COW
+        commit supersedes one bucket copy per affected bucket; without
+        expiry a 100 TB table's history grows without bound). Bucket
+        dirs carried forward by reference into a kept manifest are
+        never touched, so current reads and remaining time travel stay
+        intact; expired versions stop being readable (Iceberg's
+        contract). Only paths named by SOME manifest are ever deleted —
+        a concurrent writer's not-yet-committed data/<uuid> dir is
+        invisible here, so maintenance never races an in-flight commit
+        (orphan cleanup of crashed writers' never-committed dirs is a
+        separate age-based concern, as in Iceberg's
+        remove_orphan_files). Like rollback/compact, this is explicit
+        single-process maintenance: run it where no expired-version
+        reader is still live. Returns the deleted data paths."""
+        vs = self._versions()
+        keep_latest = max(1, keep_latest)
+        if len(vs) <= keep_latest:
+            return []
+        kept, expired = vs[-keep_latest:], vs[:-keep_latest]
+        live = {e["path"] for v in kept for e in self._manifest(v)["data_sets"]}
+        removed: set[str] = set()
+        for v in expired:
+            for e in self._manifest(v)["data_sets"]:
+                p = e["path"]
+                if p not in live and p not in removed:
+                    fsutil.delete(self.spark, f"{self.path}/data/{p}")
+                    removed.add(p)
+            fsutil.delete(self.spark, f"{self.path}/_versions/v{v:08d}.json")
+        # a data-set dir whose bucket children are all reclaimed is dead
+        # (kept references point at the _b= children, which survived)
+        for ds in {p.split("/", 1)[0] for p in removed}:
+            if not fsutil.list_names(self.spark, f"{self.path}/data/{ds}"):
+                fsutil.delete(self.spark, f"{self.path}/data/{ds}")
+        return sorted(removed)
 
     def compact(self) -> int:
         """S10 maintenance: rewrite all live data sets into one

@@ -293,3 +293,62 @@ def test_delete_all_keeps_table_readable(spark, cat):
     t.overwrite(spark.createDataFrame([], "k int, v string"))
     assert t.read().count() == 0
     assert t.read().columns == ["k", "v"]
+
+
+def test_expire_snapshots_reclaims_only_dead_buckets(spark, tmp_path):
+    """expire_snapshots must drop expired manifests and delete exactly
+    the bucket dirs referenced ONLY by them: buckets carried forward by
+    reference into a kept snapshot survive byte-identical (current
+    reads and remaining time travel intact), superseded copies are
+    reclaimed, and a rollback commit keeps its referenced data alive
+    through an expiry."""
+    import glob
+
+    from music_dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("t_exp")
+    t.overwrite(_df(spark, [(i, chr(96 + i)) for i in range(1, 21)]))
+    t.delete_where(F.col("k") == 2)   # v2: rewrites one bucket
+    t.delete_where(F.col("k") == 7)   # v3: rewrites another
+    live_entries = {e["path"] for e in t.history()[-1]["data_sets"]}
+    all_paths = {
+        e["path"] for m in t.history() for e in m["data_sets"]
+    }
+    dead = all_paths - live_entries
+    assert dead, "superseded bucket copies must exist before expiry"
+    rows_before = sorted(r["k"] for r in t.read().collect())
+    data_glob = str(tmp_path / "wh" / "t_exp" / "data" / "**" / "*.parquet")
+    live_files = {
+        p: open(p, "rb").read()
+        for p in glob.glob(data_glob, recursive=True)
+        if any(f"/{lp}/" in p for lp in live_entries)
+    }
+
+    removed = t.expire_snapshots(keep_latest=1)
+
+    assert set(removed) == dead
+    assert [m["version"] for m in t.history()] == [3]
+    root = str(tmp_path / "wh" / "t_exp" / "data")
+    for p in dead:
+        import os
+        assert not os.path.exists(f"{root}/{p}"), f"dead bucket survived: {p}"
+    for p, blob in live_files.items():
+        assert open(p, "rb").read() == blob, f"live data file touched: {p}"
+    assert sorted(r["k"] for r in t.read().collect()) == rows_before
+    # expired versions are gone (Iceberg contract)
+    with pytest.raises(Exception):
+        t.read(version=1)
+    # keep_latest >= snapshot count is a no-op
+    assert t.expire_snapshots(keep_latest=5) == []
+    # rollback pins old data alive through a subsequent expiry
+    t.append(_df(spark, [(99, "z")]))            # v4
+    v4_entries = {e["path"] for e in t.history()[-1]["data_sets"]}
+    t.rollback(3)                                # v5 references v3's sets
+    t.expire_snapshots(keep_latest=1)
+    assert sorted(r["k"] for r in t.read().collect()) == rows_before
+    # v4's new data set (99,"z") is referenced by no kept manifest - gone
+    gone = v4_entries - {e["path"] for e in t.history()[-1]["data_sets"]}
+    import os
+    for p in gone:
+        assert not os.path.exists(f"{root}/{p}")
