@@ -39,6 +39,8 @@ Provided operations mirror SURVEY §2.1's sink inventory:
     expire_snapshots  drop old manifests + reclaim data referenced only
                       by them (expire_snapshots; without it every COW
                       commit's superseded bucket copies live forever)
+    remove_orphan_files  age-gated cleanup of never-committed data dirs
+                      left by crashed writers (remove_orphan_files)
 """
 
 from __future__ import annotations
@@ -92,11 +94,18 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
-        m = json.loads(
-            fsutil.read_text(
+        try:
+            text = fsutil.read_text(
                 self.spark, f"{self.path}/_versions/v{version:08d}.json"
             )
-        )
+        except Exception as e:
+            # a raw JVM FileNotFoundException is unactionable; name the
+            # usual cause (time travel to an expired snapshot)
+            raise FileNotFoundError(
+                f"table {self.name}: no manifest for version {version} "
+                f"(never committed, or expired by expire_snapshots)"
+            ) from e
+        m = json.loads(text)
         # legacy (pre-bucketing) manifests: data_sets was a plain list
         # of data-set dir names with no bucket metadata. Normalize to
         # the entry shape; bucket=None marks "bucket unknown", which
@@ -410,9 +419,9 @@ class SnapshotTable:
         contract). Only paths named by SOME manifest are ever deleted —
         a concurrent writer's not-yet-committed data/<uuid> dir is
         invisible here, so maintenance never races an in-flight commit
-        (orphan cleanup of crashed writers' never-committed dirs is a
-        separate age-based concern, as in Iceberg's
-        remove_orphan_files). Like rollback/compact, this is explicit
+        (orphan cleanup of crashed writers' never-committed dirs is the
+        separate age-gated ``remove_orphan_files``). Like
+        rollback/compact, this is explicit
         single-process maintenance: run it where no expired-version
         reader is still live. Returns the deleted data paths."""
         vs = self._versions()
@@ -434,6 +443,29 @@ class SnapshotTable:
         for ds in {p.split("/", 1)[0] for p in removed}:
             if not fsutil.list_names(self.spark, f"{self.path}/data/{ds}"):
                 fsutil.delete(self.spark, f"{self.path}/data/{ds}")
+        return sorted(removed)
+
+    def remove_orphan_files(self, older_than_ms: int) -> list[str]:
+        """Iceberg ``remove_orphan_files`` analog: delete data-set dirs
+        under ``data/`` that are referenced by NO manifest (live or
+        historical) — the leftovers of writers that crashed between
+        writing their files and committing — but only those whose
+        modification time is older than ``older_than_ms`` (epoch
+        millis). The age threshold is the entire safety story, exactly
+        as in Iceberg: an IN-FLIGHT writer's dir is also unreferenced
+        until its commit lands, so callers must pass a horizon
+        comfortably beyond any plausible write duration (hours, not
+        seconds). Returns the deleted data-set dir names."""
+        referenced = {
+            e["path"].split("/", 1)[0]
+            for v in self._versions()
+            for e in self._manifest(v)["data_sets"]
+        }
+        removed = []
+        for name, mtime in fsutil.list_status(self.spark, f"{self.path}/data"):
+            if name not in referenced and mtime < older_than_ms:
+                fsutil.delete(self.spark, f"{self.path}/data/{name}")
+                removed.append(name)
         return sorted(removed)
 
     def compact(self) -> int:

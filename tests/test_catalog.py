@@ -352,3 +352,37 @@ def test_expire_snapshots_reclaims_only_dead_buckets(spark, tmp_path):
     import os
     for p in gone:
         assert not os.path.exists(f"{root}/{p}")
+
+
+def test_remove_orphan_files_age_gated(spark, tmp_path):
+    """remove_orphan_files must delete only data dirs that (a) no
+    manifest references AND (b) are older than the horizon — a young
+    orphan (an in-flight writer's uncommitted dir) and every referenced
+    dir survive; expired-version reads raise a named error."""
+    import time as _time
+
+    from music_dedupe_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.table("t_orph")
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    # a crashed writer: data written, never committed
+    _df(spark, [(9, "x")]).write.parquet(str(tmp_path / "wh" / "t_orph" / "data" / "deadbeef"))
+    live = {e["path"].split("/", 1)[0] for e in t.history()[-1]["data_sets"]}
+
+    # horizon in the past: nothing is old enough — no-op
+    assert t.remove_orphan_files(older_than_ms=0) == []
+    # horizon in the future: the orphan goes, referenced dirs stay
+    removed = t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 60_000)
+    assert removed == ["deadbeef"]
+    import os
+    assert not os.path.exists(str(tmp_path / "wh" / "t_orph" / "data" / "deadbeef"))
+    for ds in live:
+        assert os.path.exists(str(tmp_path / "wh" / "t_orph" / "data" / ds))
+    assert t.read().count() == 2
+
+    # expired-version reads raise a named FileNotFoundError
+    t.append(_df(spark, [(3, "c")]))
+    t.expire_snapshots(keep_latest=1)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        t.read(version=1)
