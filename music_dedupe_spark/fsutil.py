@@ -111,7 +111,18 @@ def claim_versioned_dir(
     those DO refuse an existing destination."""
     src = tmp
     base = tmp.rstrip("/").rsplit("/", 1)[-1]
-    n = 0
+    # seed the probe past the existing max index: starting at 0 would
+    # cost O(existing versions) exists() round-trips per publish (each a
+    # namenode RPC / S3 HEAD) — O(V^2) cumulative over a long-lived
+    # store dir. One listing replaces them; the loop below still owns
+    # race recovery (a concurrent claimer landing on the same seeded
+    # index is detected exactly as before).
+    taken = [
+        int(name[len(prefix) + 1 :])
+        for name in list_names(spark, parent)
+        if name.startswith(f"{prefix}_") and name[len(prefix) + 1 :].isdigit()
+    ]
+    n = max(taken) + 1 if taken else 0
     while True:
         target = f"{parent}/{prefix}_{n:04d}"
         if not exists(spark, target):

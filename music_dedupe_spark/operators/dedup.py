@@ -297,16 +297,30 @@ def dedup_minhash_lsh(spark, sf):
         # same signature/banding code path the real pass runs) — every
         # (original, truncated-copy) pair is J≈0.97, far above the
         # s-curve knee, so a healthy bander re-finds ~all of them
-        cpairs = minhash_lsh_pairs(canary_input, num_perm=128, bands=32, shingle_k=5)
+        # band_cap is DISABLED for this pass (input is O(canaries), so
+        # all-pairs in a hot bucket is at most ~125k rows): on a heavily
+        # duplicated corpus the hash-pick can land >cap identical
+        # originals in one bucket, and a star-collapse there would
+        # suppress (orig_i, ~orig_i) for every non-root original —
+        # failing the floor with a perfectly healthy bander
+        cpairs = minhash_lsh_pairs(
+            canary_input,
+            num_perm=128,
+            bands=32,
+            shingle_k=5,
+            band_cap=2 * len(planted) + 1,
+        )
         cdeps = getattr(cpairs, "_mds_persisted", [])
-        # emitted pairs are canonical in string order and every real id
-        # sorts before "~": (orig, ~orig) is the canonical form
-        found = {
-            (r["left_id"], r["right_id"])
-            for r in cpairs.select("left_id", "right_id").collect()
-        }
-        for dep in cdeps:
-            dep.unpersist()
+        try:
+            # emitted pairs are canonical in string order and every real
+            # id sorts before "~": (orig, ~orig) is the canonical form
+            found = {
+                (r["left_id"], r["right_id"])
+                for r in cpairs.select("left_id", "right_id").collect()
+            }
+        finally:
+            for dep in cdeps:
+                dep.unpersist()
         truth_c = {(str(o), f"{CANARY_PREFIX}{o}") for o in planted}
         recall_c = len(truth_c & found) / len(truth_c)
         if recall_c < LSH_RECALL_FLOOR:
@@ -329,32 +343,37 @@ def dedup_minhash_lsh(spark, sf):
     # capture the persisted-handle list BEFORE .select() (the attribute
     # does not survive DataFrame transformations — round-3 lesson)
     pair_deps = getattr(pairs, "_mds_persisted", [])
-    cand = {
-        (min(a, b), max(a, b))
-        for a, b in (
-            (int(r["left_id"]), int(r["right_id"]))
-            for r in pairs.select("left_id", "right_id").collect()
-        )
-    }
     truth_deps: list = []
-    if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
-        truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
-        truth_deps = getattr(truth_full, "_mds_persisted", [])
-        truth_rows = truth_full.select("left_doc", "right_doc").collect()
-        if truth_rows:
-            # truth pairs are canonical in doc_id NUMERIC order; cand
-            # was normalized the same way above
-            truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
-            recall = len(truth & cand) / len(truth)
-            if recall < LSH_RECALL_FLOOR:
-                raise RuntimeError(
-                    f"LSH candidate recall {recall:.3f} fell below the "
-                    f"{LSH_RECALL_FLOOR} floor vs J>={LSH_TRUTH_JACCARD} "
-                    f"organic truth pairs ({len(truth & cand)}/{len(truth)})"
-                    f" — banding regressed"
-                )
-    for dep in pair_deps + truth_deps:
-        dep.unpersist()
+    # unpersist in a finally: the recall raise (or a failed collect)
+    # must not strand MEMORY_AND_DISK signature caches in a long-lived
+    # session — the exact leak the canary branch already guards against
+    try:
+        cand = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (int(r["left_id"]), int(r["right_id"]))
+                for r in pairs.select("left_id", "right_id").collect()
+            )
+        }
+        if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
+            truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
+            truth_deps = getattr(truth_full, "_mds_persisted", [])
+            truth_rows = truth_full.select("left_doc", "right_doc").collect()
+            if truth_rows:
+                # truth pairs are canonical in doc_id NUMERIC order; cand
+                # was normalized the same way above
+                truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
+                recall = len(truth & cand) / len(truth)
+                if recall < LSH_RECALL_FLOOR:
+                    raise RuntimeError(
+                        f"LSH candidate recall {recall:.3f} fell below the "
+                        f"{LSH_RECALL_FLOOR} floor vs J>={LSH_TRUTH_JACCARD} "
+                        f"organic truth pairs ({len(truth & cand)}/{len(truth)})"
+                        f" — banding regressed"
+                    )
+    finally:
+        for dep in pair_deps + truth_deps:
+            dep.unpersist()
     rows = sorted(cand)
     return spark.createDataFrame(rows, schema="left_doc long, right_doc long")
 

@@ -164,31 +164,31 @@ def _assert_recall(
     "rows >= 0". The query/truth sets are N_QUERIES x k rows — the
     collect is O(100), not a data path. tests/test_ann.py injects a
     broken bucketer/index to prove both entries do fail."""
+    from music_dedupe_spark.queries import _assert_rows_local
+
     truth = {
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(embeddings, queries, k).collect()
     }
-    if not truth:
-        # empty corpus/query set: nothing to recall — vacuously fine,
-        # but keep the contract uniform (a LOCAL DataFrame either way:
-        # an empty truth means an empty-or-tiny approx result too)
-        rows = approx.collect()
-        return approx.sparkSession.createDataFrame(rows, schema=approx.schema)
-    # The check must execute the approx plan; collect the FULL result
-    # (k * N_QUERIES rows — tiny) and hand the caller a local DataFrame
-    # rebuilt from those rows. A persist here would leak one cached
-    # DataFrame per invocation in a long-lived session (nothing ever
-    # unpersists it), and returning the live plan would re-run the whole
-    # bucket join + re-rank on the caller's own collect.
-    rows = approx.collect()
-    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
-    recall = len(truth & got) / len(truth)
-    if recall < floor:
-        raise RuntimeError(
-            f"ANN recall {recall:.3f} fell below the {floor} floor vs the "
-            "brute-force top-k — approximate index regressed"
-        )
-    return approx.sparkSession.createDataFrame(rows, schema=approx.schema)
+
+    # the shared helper collects the (tiny, k * N_QUERIES rows) result,
+    # runs the check, and returns a LOCAL DataFrame — a persist here
+    # would leak per invocation, a live plan would re-run the bucket
+    # join + re-rank on the caller's own collect
+    def check(rows):
+        if not truth:
+            # empty corpus/query set: nothing to recall — vacuously fine
+            return None
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        recall = len(truth & got) / len(truth)
+        if recall < floor:
+            return (
+                f"recall {recall:.3f} fell below the {floor} floor vs "
+                "the brute-force top-k"
+            )
+        return None
+
+    return _assert_rows_local(approx, check, "ANN index regressed")
 
 
 @register("ann_lsh_topk", None)  # approximate: rows-only driver check (self-asserting)

@@ -26,6 +26,16 @@ parquet files are byte-identical across a delete commit). All manifest
 I/O goes through the Hadoop FileSystem of the root's scheme, so the
 catalog works on hdfs:// / s3a:// roots, not only the driver's disk.
 
+Concurrency caveat: the commit point is ``FileSystem.rename``, which
+refuses an existing destination ATOMICALLY on HDFS and local/file://
+roots — there the lost-update guard (ConcurrentCommitError) is sound.
+S3A's rename is a non-atomic HEAD-then-COPY, so on s3a:// two racing
+commits of the same version can both "succeed" — exactly why Iceberg
+requires a catalog service (metastore/REST/DynamoDB lock) for its
+atomic swap on object stores. On s3a, serialize writers externally or
+front the manifest swap with a real CAS; reads and time travel are
+safe everywhere.
+
 Provided operations mirror SURVEY §2.1's sink inventory:
 
     append            S4  (batch insert)
@@ -99,12 +109,18 @@ class SnapshotTable:
                 self.spark, f"{self.path}/_versions/v{version:08d}.json"
             )
         except Exception as e:
-            # a raw JVM FileNotFoundException is unactionable; name the
-            # usual cause (time travel to an expired snapshot)
-            raise FileNotFoundError(
-                f"table {self.name}: no manifest for version {version} "
-                f"(never committed, or expired by expire_snapshots)"
-            ) from e
+            # translate ONLY the JVM FileNotFoundException (the raw form
+            # is unactionable) into a named absence; transient faults
+            # (s3a 503s, permission errors) must propagate untouched —
+            # rewriting them as "expired" would turn a retryable fault
+            # into a false permanent diagnosis
+            jexc = getattr(e, "java_exception", None)
+            if jexc is not None and "FileNotFoundException" in jexc.getClass().getName():
+                raise FileNotFoundError(
+                    f"table {self.name}: no manifest for version {version} "
+                    f"(never committed, or expired by expire_snapshots)"
+                ) from e
+            raise
         m = json.loads(text)
         # legacy (pre-bucketing) manifests: data_sets was a plain list
         # of data-set dir names with no bucket metadata. Normalize to
@@ -116,10 +132,6 @@ class SnapshotTable:
         if sets and isinstance(sets[0], str):
             m["data_sets"] = [{"path": p, "bucket": None} for p in sets]
         return m
-
-    def _current_manifest(self) -> dict | None:
-        v = self.current_version()
-        return self._manifest(v) if v is not None else None
 
     def _snapshot(self) -> tuple[int | None, dict | None]:
         """(version, manifest) of the current snapshot, read ONCE at the
@@ -347,7 +359,12 @@ class SnapshotTable:
                 .collect()
             }
         if not affected:
-            return self._commit(cur["data_sets"], "delete_where", bc, v)
+            # no row matched: produce NO new snapshot (Iceberg's empty-
+            # delete behavior) — a re-running idempotent cleanup job must
+            # not burn version numbers, advance expire_snapshots'
+            # retention window, or make a genuinely concurrent writer
+            # lose the optimistic-commit race over a no-op
+            return v
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # rows where it evaluates to NULL are KEPT (a bare ~condition
         # would drop them — and only in affected buckets, making delete

@@ -37,26 +37,31 @@ def test_claim_versioned_dir_skips_existing(spark, tmp_path):
 def test_claim_versioned_dir_recovers_from_nesting_race(spark, tmp_path, monkeypatch):
     """Hadoop dir-rename onto an existing destination NESTS the source
     inside it and returns True — a naive probe-then-rename loser would
-    'succeed' while its data sits hidden. Simulate losing the race by
-    lying about the first existence probe; the claim must recover the
+    'succeed' while its data sits hidden. Stage the race INSIDE the
+    probe window (the winner's dir materializes after the existence
+    probe returns absent but before the rename — with max-index
+    seeding, that is the only window left); the claim must recover the
     nested dir and publish it at the next index, leaving the winner's
     store unpolluted."""
     parent = str(tmp_path / "store")
-    _mkdir_with_marker(f"{parent}/sig_store_0000", "winner")
+    os.makedirs(parent)
     tmp = f"{parent}/.tmp_racer"
     _mkdir_with_marker(tmp, "mine")
 
     real_exists = fsutil.exists
-    lied = {"done": False}
+    raced = {"done": False}
 
-    def lying_exists(s, path):
-        if not lied["done"] and path.endswith("sig_store_0000"):
-            lied["done"] = True
-            return False  # the race window: target "absent", then appears
+    def racing_exists(s, path):
+        if not raced["done"] and path.endswith("sig_store_0000"):
+            raced["done"] = True
+            # the winner lands in the window between probe and rename
+            _mkdir_with_marker(f"{parent}/sig_store_0000", "winner")
+            return False
         return real_exists(s, path)
 
-    monkeypatch.setattr(fsutil, "exists", lying_exists)
+    monkeypatch.setattr(fsutil, "exists", racing_exists)
     got = fsutil.claim_versioned_dir(spark, tmp, parent, "sig_store")
+    assert raced["done"], "seeding skipped the probe the race targets"
     assert got == f"{parent}/sig_store_0001"
     assert os.path.exists(f"{parent}/sig_store_0001/mine")
     # the winner's store holds only its own data — no nested leftovers
@@ -85,3 +90,18 @@ def test_claim_versioned_dir_missing_source_raises(spark, tmp_path):
     os.makedirs(parent)
     with pytest.raises(IOError):
         fsutil.claim_versioned_dir(spark, f"{parent}/.tmp_gone", parent, "sig_store")
+
+
+def test_claim_versioned_dir_never_refills_gaps(spark, tmp_path):
+    """Housekeeping may delete superseded low indices; a later publish
+    must land at max+1, not refill the gap — a reader handed
+    sig_store_0003 earlier must never find foreign data there, and the
+    seed listing (one RPC) replaces O(versions) exists() probes."""
+    parent = str(tmp_path / "store")
+    _mkdir_with_marker(f"{parent}/sig_store_0003", "live")
+    # _0000.._0002 were deleted by housekeeping
+    tmp = f"{parent}/.tmp_next"
+    _mkdir_with_marker(tmp, "mine")
+    got = fsutil.claim_versioned_dir(spark, tmp, parent, "sig_store")
+    assert got == f"{parent}/sig_store_0004"
+    assert os.path.exists(f"{parent}/sig_store_0004/mine")
