@@ -124,6 +124,12 @@ def connected_components(
         # input twice (union of both directions), the recompute depth is
         # one stage and ReusedExchange dedupes the shuffles — an explicit
         # persist of ls measured 40% SLOWER (materialization job cost).
+        # (round 6 measured rejection: TWO star rounds per driver job —
+        # to halve the job/checkpoint count — was tried and REVERTED:
+        # without a lineage cut between the rounds, each star references
+        # its input 2-3x, so chaining four of them fans the un-cut leaf
+        # out ~36x; er_pipeline went 28 s -> 47-50 s on the bench. One
+        # round per checkpointed job is the right granularity.)
         ls = _large_star(cur.select(F.col("u"), F.col("v")))
         ss = _small_star(ls.select(F.col("u"), F.col("v")))
         # truncate lineage every iteration; eager=False so the checksum

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from music_dedupe_spark.operators.blocking import minhash_signatures
-from music_dedupe_spark.queries import _t, register
+from music_dedupe_spark.queries import _local_df, _t, register
 
 
 @register(
@@ -210,7 +210,7 @@ LSH_ORGANIC_TRUTH_MAX_CHARS = 500_000
 CANARY_PREFIX = "~"
 
 
-def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
+def _lsh_canaries(d: DataFrame) -> tuple[DataFrame, list[int], int, int]:
     """Deterministic planted near-duplicates for the LSH self-assert:
     ~LSH_CANARY_COUNT hash-picked docs copied with the last ~3% of
     characters cut, under id ``~<doc_id>`` ("~" = 0x7E sorts after
@@ -218,7 +218,8 @@ def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
     a min-id star root within the canary pass). ``mod`` has a floor of
     2 so a small corpus plants at most half its docs.
     Returns (canary-pass input: picked ORIGINALS ∪ their truncated
-    copies in (file_id, content) shape, picked ids). The pass input is
+    copies in (file_id, content) shape, picked ids, n_docs,
+    total_chars). The pass input is
     self-contained on purpose: the canary check runs as its OWN bounded
     LSH invocation, never unioned into the real corpus — planted twins
     mixed into real band buckets distort the actual candidate output
@@ -226,18 +227,34 @@ def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
     its all-pairs output to a star; measured −7k real pairs on a
     hot-block fixture, pinned by
     tests/test_dedup_ops.py::test_lsh_canaries_side_effect_free...)."""
-    mod = max(2, n_docs // LSH_CANARY_COUNT)
-    # ONE scan picks and collects the O(canaries) docs (a few hundred
-    # rows at ANY corpus size — the same documented-small collect as
-    # the planted-id list); the pass input is then a LOCAL one-partition
-    # frame, so the canary LSH invocation costs one Arrow batch of ~500
-    # tiny docs instead of three full-corpus scans + 32-task stages
-    # (measured 4.5 s -> ~1.5 s warm at sf0.1).
+    # ONE driver job picks and collects the O(canaries) docs (a few
+    # hundred rows at ANY corpus size — the same documented-small
+    # collect as the planted-id list) AND carries the corpus stats
+    # (count, total chars) on every picked row via a broadcast scalar
+    # aggregate: the separate stats job the entry used to run first was
+    # pure job-chain latency — same two corpus scans either way, one
+    # driver round-trip instead of two. cast(_n / COUNT as long)
+    # truncates toward zero == Python's // for non-negative counts, so
+    # the pick is bit-identical to the old max(2, n_docs // COUNT) mod.
+    stats = d.agg(F.count("*").alias("_n"), F.sum(F.length("text")).alias("_chars"))
+    mod_col = F.greatest(
+        F.lit(2), (F.col("_n") / F.lit(LSH_CANARY_COUNT)).cast("long")
+    )
     rows = (
-        d.filter(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(mod)) == 0)
-        .select(F.col("doc_id"), F.col("text"))
+        d.crossJoin(F.broadcast(stats))
+        .filter(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), mod_col) == 0)
+        .select(F.col("doc_id"), F.col("text"), F.col("_n"), F.col("_chars"))
         .collect()
     )
+    if rows:
+        n_docs = int(rows[0]["_n"])
+        total_chars = int(rows[0]["_chars"] or 0)
+    else:
+        # nothing picked (empty or near-empty corpus): fall back to the
+        # plain stats job so the organic-truth gate still sees real stats
+        st = stats.collect()[0]
+        n_docs = int(st["_n"])
+        total_chars = int(st["_chars"] or 0)
     planted = [r["doc_id"] for r in rows]
     data = []
     for r in rows:
@@ -245,10 +262,14 @@ def _lsh_canaries(d: DataFrame, n_docs: int) -> tuple[DataFrame, list[int]]:
         # Python slice == SQL substring(text, 1, greatest(int(len*0.97), 5))
         data.append((did, text))
         data.append((CANARY_PREFIX + did, text[: max(int(len(text) * 0.97), 5)]))
-    canary_input = d.sparkSession.createDataFrame(
-        data, "file_id string, content string"
-    ).coalesce(1)
-    return canary_input, planted
+    # one-slice local frame (not createDataFrame(list): that splits into
+    # defaultParallelism pickled slices and every canary-pass stage pays
+    # one Python-worker round-trip per slice — measured ~5.5 s of pure
+    # overhead per materialization at 32 slices; see queries._local_df)
+    canary_input = _local_df(
+        d.sparkSession, data, "file_id string, content string"
+    )
+    return canary_input, planted, n_docs, total_chars
 
 
 @register("dedup_minhash_lsh", None)  # sketch-based: rows-only driver check (self-asserting)
@@ -285,14 +306,13 @@ def dedup_minhash_lsh(spark, sf):
     ``blocking.minhash_lsh_pairs``, which stays fully distributed;
     this entry is its self-asserting demo at driver corpus sizes."""
     d = _t(spark, sf, "documents")
+    from concurrent.futures import ThreadPoolExecutor
+
     from music_dedupe_spark.operators.blocking import minhash_lsh_pairs
 
-    stats = d.agg(
-        F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
-    ).collect()[0]
-    n_docs, total_chars = stats["n"], stats["chars"] or 0
-    canary_input, planted = _lsh_canaries(d, n_docs)
-    if planted:
+    canary_input, planted, n_docs, total_chars = _lsh_canaries(d)
+
+    def _canary_check() -> None:
         # the canary check: its OWN bounded LSH pass (O(canaries) docs,
         # same signature/banding code path the real pass runs) — every
         # (original, truncated-copy) pair is J≈0.97, far above the
@@ -330,7 +350,16 @@ def dedup_minhash_lsh(spark, sf):
                 f"J≈0.97 canary pairs ({len(truth_c & found)} found) — "
                 f"banding regressed"
             )
-    # the REAL pass: the actual corpus only — canaries never touch it
+
+    # the REAL pass: the actual corpus only — canaries never touch it.
+    # The canary check is an INDEPENDENT job chain over a ~500-row local
+    # frame: submit it from a second driver thread so its fixed
+    # stage-scheduling cost overlaps the real pass instead of being paid
+    # serially before it (guide §2.6 — actions are only sequential
+    # because the driver calls them sequentially; the two passes share
+    # no plan state, and each persists/unpersists only its own caches).
+    # The future's result() below re-raises a canary failure before the
+    # entry can return, so the self-assert contract is unchanged.
     pairs = minhash_lsh_pairs(
         d.select(
             F.col("doc_id").cast("string").alias("file_id"),
@@ -347,6 +376,8 @@ def dedup_minhash_lsh(spark, sf):
     # unpersist in a finally: the recall raise (or a failed collect)
     # must not strand MEMORY_AND_DISK signature caches in a long-lived
     # session — the exact leak the canary branch already guards against
+    pool = ThreadPoolExecutor(max_workers=1)
+    canary_future = pool.submit(_canary_check) if planted else None
     try:
         cand = {
             (min(a, b), max(a, b))
@@ -355,6 +386,8 @@ def dedup_minhash_lsh(spark, sf):
                 for r in pairs.select("left_id", "right_id").collect()
             )
         }
+        if canary_future is not None:
+            canary_future.result()  # re-raise a canary-recall failure
         if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
             truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
             truth_deps = getattr(truth_full, "_mds_persisted", [])
@@ -372,10 +405,14 @@ def dedup_minhash_lsh(spark, sf):
                         f" — banding regressed"
                     )
     finally:
+        # wait for the canary thread before unpersisting anything: its
+        # error (if any) was surfaced by result() above; on an earlier
+        # raise the shutdown just drains the already-submitted check
+        pool.shutdown(wait=True)
         for dep in pair_deps + truth_deps:
             dep.unpersist()
     rows = sorted(cand)
-    return spark.createDataFrame(rows, schema="left_doc long, right_doc long")
+    return _local_df(spark, rows, "left_doc long, right_doc long")
 
 
 import re

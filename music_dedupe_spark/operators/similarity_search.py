@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from music_dedupe_spark.queries import _t, register
+from music_dedupe_spark.queries import _local_df, _t, register
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the benchmark query vectors
@@ -280,7 +280,9 @@ def ivf_topk(
         v = v / np.linalg.norm(v)
         cells = np.argsort(-(cn @ v))[:nprobe]
         probe_rows.extend((int(r["vec_id"]), int(c)) for c in cells)
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    # one-slice local frame (see queries._local_df: the list path's 32
+    # pickled slices cost a Python-worker round-trip per slice downstream)
+    probes = _local_df(spark, probe_rows, "query_id long, cell int")
 
     cands = (
         F.broadcast(probes)

@@ -274,6 +274,23 @@ def cube_counts(spark, sf):
 APPROX_DISTINCT_TOL = 0.05
 
 
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local DataFrame in as few slices as the row count needs.
+    ``createDataFrame(list)`` always parallelizes into
+    defaultParallelism pickled slices, and every downstream consumer
+    then pays one Python-worker round-trip PER SLICE — measured ~5.5 s
+    for 32 slices of a few hundred rows on the bench VM (each slice is
+    a separate PythonRDD compute) vs ~0.2 s for one slice. These frames
+    are documented-small (canary picks, top-k results, collected entry
+    returns), so slicing is sized to the data — one slice per ~50k rows
+    — instead of to the core count; the conversion/verification
+    semantics are identical to the list path."""
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 50_000))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
+
+
 def _assert_rows_local(df, check, what: str):
     """Self-asserting rows-only entry helper: collect the (small)
     result, run ``check(rows)`` (returns an error string or None), and
@@ -284,7 +301,7 @@ def _assert_rows_local(df, check, what: str):
     err = check(rows)
     if err:
         raise RuntimeError(f"{what}: {err}")
-    return df.sparkSession.createDataFrame(rows, schema=df.schema)
+    return _local_df(df.sparkSession, rows, df.schema)
 
 
 @register("approx_distinct_parts", None)  # sketch: rows-only driver check

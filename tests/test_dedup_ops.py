@@ -108,8 +108,12 @@ def test_lsh_truth_set_nonempty(spark):
         F.count("*").alias("n"), F.sum(F.length("text")).alias("chars")
     ).collect()[0]
     assert stats["chars"] <= LSH_ORGANIC_TRUTH_MAX_CHARS
-    _, planted = _lsh_canaries(d, stats["n"])
+    _, planted, n_docs, total_chars = _lsh_canaries(d)
     assert len(planted) > 0
+    # the merged pick+stats job must report the same corpus stats the
+    # separate agg sees (round-6: one driver job instead of two)
+    assert n_docs == stats["n"]
+    assert total_chars == stats["chars"]
     t = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
     deps = getattr(t, "_mds_persisted", [])
     n = t.count()
