@@ -187,10 +187,6 @@ def connected_components(
     # after convergence edges form stars; canonical (u, v) has u < v, so
     # u is the component-minimum root and v the member.
     labels = cur.select(F.col("v").alias("member_id"), F.col("u").alias("entity_id"))
-    # star roots are their own entity
-    roots = cur.select(F.col("u").alias("member_id")).distinct().join(
-        labels.select(F.col("member_id")), "member_id", "left_anti"
-    ).withColumn("entity_id", F.col("member_id"))
     # node set from the checkpointed canonical leaf (NOT the raw edges
     # argument — see the lineage-cut comment above); self-loops were
     # kept in ``raw`` precisely so their nodes still surface here
@@ -199,10 +195,13 @@ def connected_components(
         .unionAll(raw.select(F.col("v").alias("member_id")))
         .distinct()
     )
-    assigned = labels.unionByName(roots)
-    singletons = all_nodes.join(assigned, "member_id", "left_anti").withColumn(
-        "entity_id", F.col("member_id")
-    )
+    # ONE left join + coalesce assembles the assignment (round 6; was
+    # roots-distinct + anti-join + union + anti-join + union — three
+    # extra passes over the node set for the same rows). At the star
+    # fixpoint a node is either a member of exactly one star (entity =
+    # its root), or a root / self-loop-only node that appears in no
+    # member slot (entity = itself via the coalesce); roots can't also
+    # be members at a fixpoint — large_star would rewire them.
     # truncate lineage: the loop is already eager, but the RESULT's
     # logical plan still embeds the full input-edge lineage (candidate
     # generation, scoring, prior CC runs ...). Callers fan the
@@ -211,7 +210,11 @@ def connected_components(
     # whole tree — measured minutes of pure driver/Catalyst time on a
     # deep incremental plan. One more small job here makes the
     # assignment a leaf for everything downstream.
-    result = assigned.unionByName(singletons).dropDuplicates(["member_id"])
+    result = (
+        all_nodes.join(labels, "member_id", "left")
+        .withColumn("entity_id", F.coalesce(F.col("entity_id"), F.col("member_id")))
+        .dropDuplicates(["member_id"])
+    )
     if checkpoint_dir:
         # a localCheckpoint stores blocks UNREPLICATED on executors: on a
         # real cluster, losing one executor after convergence would make

@@ -100,6 +100,7 @@ def ngram_jaccard_pairs(
     # DataFrame would be a silent no-op (the cache would leak).
     cached = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     shingles = cached
+    caches = [cached]
     if df_cap is not None:
         # shingles are distinct per doc (array_distinct), so count(*) per
         # shk == per-block document frequency. groupBy (not a window):
@@ -111,6 +112,14 @@ def ngram_jaccard_pairs(
             .select("shk")
         )
         shingles = shingles.join(F.broadcast(hot), "shk", "left_anti")
+        # persist the POST-cut shingles too: three branches consume them
+        # (per-doc sizes + both sides of the intersection join), and the
+        # plan otherwise repeats the hot-aggregate + anti-join pass once
+        # per branch — 2-3 redundant full passes over the shingle set
+        # (guide §2.3: don't recompute what you can keep). kept ⊆ the
+        # pre-cut cache, so the added footprint is bounded by it.
+        shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(shingles)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.select(F.col("doc_id").alias("left_doc"), "shk")
     b = shingles.select(F.col("doc_id").alias("right_doc"), "shk")
@@ -129,9 +138,9 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("left_doc", "right_doc", F.round(jac, 4).alias("jaccard"))
     )
-    # unpersist handle for callers that materialize the result and want
-    # the ~10x-text shingle cache released before session end
-    out._mds_persisted = [cached]
+    # unpersist handles for callers that materialize the result and want
+    # the ~10x-text shingle caches released before session end
+    out._mds_persisted = caches
     return out
 
 
@@ -360,6 +369,11 @@ def dedup_minhash_lsh(spark, sf):
     # no plan state, and each persists/unpersists only its own caches).
     # The future's result() below re-raises a canary failure before the
     # entry can return, so the self-assert contract is unchanged.
+    # (round 6 measured rejection: a parallelism floor — repartition the
+    # one-file scan to 32 before the signature kernel — was tried here
+    # and REVERTED: the ~2 s serial kernel it parallelizes is cheaper
+    # than the 32-way task fan-out it forces on every downstream banding
+    # stage at this corpus size; entry went 12-16 s -> 19-32 s.)
     pairs = minhash_lsh_pairs(
         d.select(
             F.col("doc_id").cast("string").alias("file_id"),

@@ -338,11 +338,16 @@ def incremental_link(
         clustering.fold_incremental(delta_edges, fid_assignment),
         all_feats,
     )
-    all_ids = all_feats.select(F.col("file_id").alias("member_id"))
-    singletons = all_ids.join(assignment.select("member_id"), "member_id", "left_anti").withColumn(
-        "entity_id", F.col("member_id")
+    # singletons via ONE left join + coalesce (round 6; was anti-join +
+    # union — two passes over the id set for the same rows)
+    clusters = (
+        all_feats.select(F.col("file_id").alias("member_id"))
+        .join(assignment, "member_id", "left")
+        .withColumn(
+            "entity_id", F.coalesce(F.col("entity_id"), F.col("member_id"))
+        )
+        .dropDuplicates(["member_id"])
     )
-    clusters = assignment.unionByName(singletons).dropDuplicates(["member_id"])
     if sig_store is not None and delta_store is not None:
         # no checkpoint dir to compact into: hand the caller the persisted
         # delta handle so a long-running session can release a superseded

@@ -79,7 +79,16 @@ def ingest(files: DataFrame) -> DataFrame:
     """S1+S2: scan filter + one columnar derive pass. The content column
     passes through untouched — content_sha256 multiset equality vs the
     eligible input is the per-row invariant (BASELINE.json input_hint),
-    asserted stage-by-stage in tests/test_pipeline_e2e.py."""
+    asserted stage-by-stage in tests/test_pipeline_e2e.py.
+
+    (Round 6 measured rejection: a scale-adaptive parallelism floor —
+    repartition single-file scans to defaultParallelism before the
+    derive pass, after the guide's "unsplittable input" remedy — was
+    tried here and REVERTED: interleaved A/B showed er_pipeline 28-29 s
+    with the floor vs 13-16 s without at sf0.1; the serialized derive
+    kernel it parallelizes is far cheaper than the 32-way task fan-out
+    it forces on every downstream stage, and at real multi-split scale
+    the floor is a no-op anyway.)"""
     return with_derived_columns(eligible_files(files))
 
 
@@ -295,11 +304,15 @@ def run_pipeline(files: DataFrame, cfg: PipelineConfig | None = None) -> dict[st
         ),
         features,
     )
-    # singletons: files that matched nothing keep their own id
-    all_assign = assignment.unionByName(
+    # singletons: files that matched nothing keep their own id — ONE
+    # left join + coalesce over the feature ids (round 6; the anti-join
+    # + union form walked the feature table twice for the same rows)
+    all_assign = (
         features.select(F.col("file_id").alias("member_id"))
-        .join(assignment.select("member_id"), "member_id", "left_anti")
-        .withColumn("entity_id", F.col("member_id"))
+        .join(assignment, "member_id", "left")
+        .withColumn(
+            "entity_id", F.coalesce(F.col("entity_id"), F.col("member_id"))
+        )
     ).persist()
     ranked = rank_survivors(
         features.join(

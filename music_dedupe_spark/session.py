@@ -47,6 +47,26 @@ def get_spark(
         # Arrow for every pandas UDF / applyInPandas / mapInPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # shuffle/spill codec (round-6 A/B, BENCH/ab_conf_r06.json):
+        # zstd trades a little CPU for a markedly better ratio — fewer
+        # shuffle bytes is what a bandwidth-bound cluster pays for, and
+        # it measured neutral-to-positive locally. Env-overridable for
+        # probes (SPARK_GRAFT_IO_CODEC=lz4 restores the old default).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
+        # let the planner pick shuffled-hash join where its size checks
+        # pass instead of defaulting to sort-merge (no sort pass; the
+        # blocking layer caps partition-level build sides, and AQE's
+        # skew handling still applies) — guide-recommended baseline.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # scalar @udf hops (none on data paths, but entry glue) cross
+        # as Arrow batches instead of pickled rows
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         # deterministic timestamps vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
