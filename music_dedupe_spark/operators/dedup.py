@@ -308,12 +308,15 @@ def dedup_minhash_lsh(spark, sf):
     (tests/test_dedup_ops.py pins it with an injected regression).
     Canary rows never appear in the returned candidates.
 
-    Driver-entry discipline: the candidate set is collected and
-    returned as a LOCAL DataFrame — the driver collects the result
-    anyway, and a live plan would re-run the banding on its collect
-    while a persist would leak per invocation. The SCALE surface is
-    ``blocking.minhash_lsh_pairs``, which stays fully distributed;
-    this entry is its self-asserting demo at driver corpus sizes."""
+    Driver-entry discipline: the canonicalized candidate set is
+    materialized ONCE via an eager localCheckpoint and returned as that
+    plan leaf — the driver's collect then fetches blocks instead of
+    re-running the banding, a persist would leak per invocation, and
+    (unlike the old collect-and-reupload) no pair ever round-trips
+    through driver pickle before the driver asks for it. The SCALE
+    surface is ``blocking.minhash_lsh_pairs``, which stays fully
+    distributed; this entry is its self-asserting demo at driver
+    corpus sizes."""
     d = _t(spark, sf, "documents")
     from concurrent.futures import ThreadPoolExecutor
 
@@ -393,22 +396,42 @@ def dedup_minhash_lsh(spark, sf):
     pool = ThreadPoolExecutor(max_workers=1)
     canary_future = pool.submit(_canary_check) if planted else None
     try:
-        cand = {
-            (min(a, b), max(a, b))
-            for a, b in (
-                (int(r["left_id"]), int(r["right_id"]))
-                for r in pairs.select("left_id", "right_id").collect()
+        # canonicalize to NUMERIC (left < right) pair order JVM-side and
+        # materialize ONCE with an eager localCheckpoint (round 6; the
+        # old collect → python set → sorted → re-upload round-tripped
+        # every pair through driver pickle twice before the driver's own
+        # collect — ~4 s at sf0.1's 351k pairs). String-canonical pairs
+        # map 1:1 onto numeric-canonical pairs, so the rows are the
+        # sorted distinct set exactly as before; the checkpoint is a
+        # plan leaf (banding caches can be released below) and, unlike a
+        # persist, its blocks free with the DataFrame instead of pinning
+        # the session.
+        out = (
+            pairs.select(
+                F.least(
+                    F.col("left_id").cast("long"), F.col("right_id").cast("long")
+                ).alias("left_doc"),
+                F.greatest(
+                    F.col("left_id").cast("long"), F.col("right_id").cast("long")
+                ).alias("right_doc"),
             )
-        }
+            .dropDuplicates(["left_doc", "right_doc"])
+            .orderBy("left_doc", "right_doc")
+            .localCheckpoint()
+        )
         if canary_future is not None:
             canary_future.result()  # re-raise a canary-recall failure
         if total_chars <= LSH_ORGANIC_TRUTH_MAX_CHARS:
+            # the candidate set is needed driver-side only for this
+            # gated recall check — and the gate caps the corpus (and so
+            # the collect) small
+            cand = {(r["left_doc"], r["right_doc"]) for r in out.collect()}
             truth_full = ngram_jaccard_pairs(d, k=5, threshold=LSH_TRUTH_JACCARD)
             truth_deps = getattr(truth_full, "_mds_persisted", [])
             truth_rows = truth_full.select("left_doc", "right_doc").collect()
             if truth_rows:
-                # truth pairs are canonical in doc_id NUMERIC order; cand
-                # was normalized the same way above
+                # truth pairs are canonical in doc_id NUMERIC order —
+                # the same normalization as ``out``
                 truth = {(r["left_doc"], r["right_doc"]) for r in truth_rows}
                 recall = len(truth & cand) / len(truth)
                 if recall < LSH_RECALL_FLOOR:
@@ -425,8 +448,7 @@ def dedup_minhash_lsh(spark, sf):
         pool.shutdown(wait=True)
         for dep in pair_deps + truth_deps:
             dep.unpersist()
-    rows = sorted(cand)
-    return _local_df(spark, rows, "left_doc long, right_doc long")
+    return out
 
 
 import re
