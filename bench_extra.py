@@ -83,7 +83,7 @@ def probe_lsh():
     t.mark("canary_pick_and_stats")
     canary_input, planted, n_docs, total_chars = dedup._lsh_canaries(d)
 
-    t.mark("canary_lsh_pass")
+    t.mark("canary_lsh_pass")  # timed SERIALLY here; the entry overlaps it
     cpairs = minhash_lsh_pairs(
         canary_input, num_perm=128, bands=32, shingle_k=5,
         band_cap=2 * len(planted) + 1,
@@ -97,7 +97,7 @@ def probe_lsh():
         dep.unpersist()
     recall_c = len({(str(o), f"~{o}") for o in planted} & found) / max(len(planted), 1)
 
-    t.mark("real_pass")
+    t.mark("real_pass_checkpoint")
     pairs = minhash_lsh_pairs(
         d.select(
             F.col("doc_id").cast("string").alias("file_id"),
@@ -106,22 +106,22 @@ def probe_lsh():
         num_perm=128, bands=32, shingle_k=5,
     )
     pair_deps = getattr(pairs, "_mds_persisted", [])
-    cand = {
-        (min(a, b), max(a, b))
-        for a, b in (
-            (int(r["left_id"]), int(r["right_id"]))
-            for r in pairs.select("left_id", "right_id").collect()
+    out = (
+        pairs.select(
+            F.least(F.col("left_id").cast("long"), F.col("right_id").cast("long")).alias("left_doc"),
+            F.greatest(F.col("left_id").cast("long"), F.col("right_id").cast("long")).alias("right_doc"),
         )
-    }
+        .dropDuplicates(["left_doc", "right_doc"])
+        .orderBy("left_doc", "right_doc")
+        .localCheckpoint()
+    )
     for dep in pair_deps:
         dep.unpersist()
 
-    t.mark("local_df_return")
-    rows = sorted(cand)
-    out = spark.createDataFrame(rows, schema="left_doc long, right_doc long")
-    out.collect()
+    t.mark("driver_collect")
+    rows = out.collect()
     t.done()
-    print(f"# n_docs={n_docs} canary_recall={recall_c:.3f} n_pairs={len(cand)}", file=sys.stderr)
+    print(f"# n_docs={n_docs} canary_recall={recall_c:.3f} n_pairs={len(rows)}", file=sys.stderr)
 
 
 def probe_er():
@@ -171,10 +171,10 @@ def probe_er():
 
     t.mark("public_assignment")
     assignment = P.public_assignment(assignment_int, features)
-    all_assign = assignment.unionByName(
+    all_assign = (
         features.select(F.col("file_id").alias("member_id"))
-        .join(assignment.select("member_id"), "member_id", "left_anti")
-        .withColumn("entity_id", F.col("member_id"))
+        .join(assignment, "member_id", "left")
+        .withColumn("entity_id", F.coalesce(F.col("entity_id"), F.col("member_id")))
     ).persist()
     n_clusters = all_assign.select("entity_id").distinct().count()
 
